@@ -230,6 +230,50 @@ class RasterOut:
     n_truncated: Any  # [] int32
 
 
+def _prepare(camera, means3d, cov3d, config, screen_tap):
+    grid_x = (camera.width + TILE - 1) // TILE
+    grid_y = (camera.height + TILE - 1) // TILE
+    proj: Projected = project(means3d, cov3d, camera, screen_tap=screen_tap)
+    bins: TileBins = bin_gaussians(
+        proj,
+        grid_x,
+        grid_y,
+        config.max_intersections(means3d.shape[0]),
+        config.max_per_tile,
+    )
+    return proj, bins, _tile_pixels(grid_x, grid_y), (grid_x, grid_y)
+
+
+def _untile(x, grid_x, grid_y, H, W):
+    ch = x.shape[-1]
+    x = x.reshape(grid_y, grid_x, TILE, TILE, ch)
+    x = x.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, ch)
+    return x[:H, :W]
+
+
+def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
+    grid_x, grid_y = grids
+    H, W = camera.height, camera.width
+    opac = jnp.where(proj.valid, opacities, 0.0)
+    full_payload = jnp.concatenate([payload, proj.depth[:, None]], axis=-1)
+    accum, t_final = _blend_tiles(
+        proj.mean2d,
+        proj.conic,
+        opac,
+        full_payload,
+        bins.gauss_idx,
+        bins.counts,
+        pix,
+        config.chunk,
+    )
+    C = payload.shape[1]
+    img_tiles = accum[:, :, :C] + t_final[..., None] * bg[None, None, :]
+    image = _untile(img_tiles, grid_x, grid_y, H, W)
+    alpha = _untile((1.0 - t_final)[..., None], grid_x, grid_y, H, W)[..., 0]
+    depth = _untile(accum[:, :, C:], grid_x, grid_y, H, W)[..., 0]
+    return image, alpha, depth
+
+
 def rasterize(
     camera: Camera,
     means3d: jnp.ndarray,
@@ -245,44 +289,45 @@ def rasterize(
     Matches the reference rasterizer's output contract (image, radii, depth,
     alpha — SURVEY.md §2.1) but with C channels in one pass.
     """
-    H, W = camera.height, camera.width
-    grid_x = (W + TILE - 1) // TILE
-    grid_y = (H + TILE - 1) // TILE
-
-    proj: Projected = project(means3d, cov3d, camera, screen_tap=screen_tap)
-    bins: TileBins = bin_gaussians(
-        proj,
-        grid_x,
-        grid_y,
-        config.max_intersections(means3d.shape[0]),
-        config.max_per_tile,
+    proj, bins, pix, grids = _prepare(camera, means3d, cov3d, config, screen_tap)
+    image, alpha, depth = _composite(
+        camera, proj, bins, pix, grids, opacities, payload, bg, config
     )
-    pix = _tile_pixels(grid_x, grid_y)
-
-    opac = jnp.where(proj.valid, opacities, 0.0)
-    full_payload = jnp.concatenate([payload, proj.depth[:, None]], axis=-1)
-    accum, t_final = _blend_tiles(
-        proj.mean2d,
-        proj.conic,
-        opac,
-        full_payload,
-        bins.gauss_idx,
-        bins.counts,
-        pix,
-        config.chunk,
+    return RasterOut(
+        image=image,
+        alpha=alpha,
+        depth=depth,
+        radii=proj.radius,
+        n_dropped=bins.n_dropped,
+        n_truncated=bins.n_truncated,
     )
-    C = payload.shape[1]
-    img_tiles = accum[:, :, :C] + t_final[..., None] * bg[None, None, :]
-    depth_tiles = accum[:, :, C]
 
-    def untile(x, ch):
-        x = x.reshape(grid_y, grid_x, TILE, TILE, ch)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, ch)
-        return x[:H, :W]
 
-    image = untile(img_tiles, C)
-    alpha = untile((1.0 - t_final)[..., None], 1)[..., 0]
-    depth = untile(depth_tiles[..., None], 1)[..., 0]
+def rasterize_groups(
+    camera: Camera,
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,  # [G, N] per-group masked opacities
+    payload: jnp.ndarray,
+    bg: jnp.ndarray,
+    config: RasterizeConfig = RasterizeConfig(),
+) -> RasterOut:
+    """Render G subsets of the same scene (e.g. per-cluster renders).
+
+    TPU-first replacement for the reference's per-cluster boolean-index +
+    re-launch loops (reference gaussian_renderer/__init__.py:174-356):
+    projection, covariance, and tile binning/sorting run ONCE; only the blend
+    is vmapped over per-group opacity masks. A splat with zero opacity does
+    not alter transmittance, so masked blending over the superset list is
+    exactly equivalent to rasterizing each subset.
+
+    Returns RasterOut with leading group axis on image/alpha/depth.
+    """
+    proj, bins, pix, grids = _prepare(camera, means3d, cov3d, config, None)
+    comp = jax.vmap(
+        lambda op: _composite(camera, proj, bins, pix, grids, op, payload, bg, config)
+    )
+    image, alpha, depth = comp(opacities)
     return RasterOut(
         image=image,
         alpha=alpha,
