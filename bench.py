@@ -1,0 +1,81 @@
+"""Benchmark: forward+backward rasterization throughput on the real chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: fwd+bwd Mpix/s per chip at the ScanNet native resolution 1296x968
+with a realistic splat count, sustained over a timed loop after warmup.
+Baseline anchor: ~23 Mpix/s derived from the reference's published ScanNet
+wall-clock on an RTX 4090 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 23.0
+WIDTH, HEIGHT = 1296, 968
+N_GAUSS = 200_000
+TIMED_ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from opengaussian_tpu.cameras import Camera
+    from opengaussian_tpu.models.gaussians import create_from_pcd
+    from opengaussian_tpu.ops.rasterize import RasterizeConfig
+    from opengaussian_tpu.render import render
+    from opengaussian_tpu.train import losses
+
+    rng = np.random.default_rng(0)
+    pts = np.stack(
+        [rng.normal(0, 1.2, N_GAUSS), rng.normal(0, 0.9, N_GAUSS),
+         rng.uniform(2.0, 10.0, N_GAUSS)], -1
+    ).astype(np.float32)
+    cols = rng.uniform(0, 1, (N_GAUSS, 3)).astype(np.float32)
+    state = create_from_pcd(pts, cols, capacity=N_GAUSS, seed=0)
+
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, WIDTH, HEIGHT)
+    rcfg = RasterizeConfig(max_per_tile=1024, chunk=64)
+    bg = jnp.zeros(3)
+    gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
+
+    @jax.jit
+    def fwd_bwd(gs):
+        def loss_fn(params):
+            out = render(cam, gs.with_params(params), bg, 3, rcfg)
+            return losses.l1_loss(out.render, gt)
+
+        loss, grads = jax.value_and_grad(loss_fn)(gs.params())
+        return loss, grads
+
+    # warmup / compile
+    loss, grads = fwd_bwd(state)
+    jax.block_until_ready((loss, grads))
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ITERS):
+        loss, grads = fwd_bwd(state)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    iters_per_s = TIMED_ITERS / dt
+    mpix_s = iters_per_s * WIDTH * HEIGHT / 1e6
+    print(
+        json.dumps(
+            dict(
+                metric="fwd_bwd_mpix_per_s_1296x968_200k_gauss",
+                value=round(mpix_s, 3),
+                unit="Mpix/s",
+                vs_baseline=round(mpix_s / BASELINE_MPIX_S, 3),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -117,7 +117,7 @@ def save_gaussian_ply(path, state, sh_degree: int = 3):
     opac = 1 / (1 + np.exp(-op))
     vis[opac < 0.1] = 0.5
     for i, k in enumerate(("red", "green", "blue")):
-        fields[k] = (np.clip(vis[:, i], 0, 1) * 255).astype(np.uint8)
+        fields[k] = (np.clip(np.nan_to_num(vis[:, i]), 0, 1) * 255).astype(np.uint8)
     write_ply(path, fields)
 
 

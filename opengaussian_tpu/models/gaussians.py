@@ -87,7 +87,11 @@ class GaussianState:
         """L2-normalized instance feature; pass the STE-quantized features to
         mimic get_ins_feat(origin=False) (reference gaussian_model.py:163-169)."""
         f = self.ins_feat if quantized is None else quantized
-        return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-12)
+        # double-where keeps gradients NaN-free for all-zero rows (dead
+        # padding slots): d||x||/dx at x=0 is NaN even under a zero cotangent
+        sq = jnp.sum(f * f, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        return jnp.where(sq > 0, f / n, 0.0)
 
     def params(self) -> dict:
         return {k: getattr(self, k) for k in PARAM_FIELDS}

@@ -1,0 +1,159 @@
+"""Two-level k-means codebook for instance-feature discretization.
+
+TPU rewrite of the reference's `Quantize_kMeans` (reference
+scene/kmeans_quantize.py:12-280). Semantics preserved:
+
+  * coarse (root) level clusters cat(ins_feat, xyz * pos_weight) [N, 9] into
+    k1 centers; fine (leaf) level clusters the 6-D features of ONE root's
+    points into that root's k2 slots, with an extra "unassigned" bucket at
+    index k1*k2 (kmeans_quantize.py:158-160);
+  * a root's active leaf count comes from iLeafSubNum (set by the
+    pseudo-label preprocessing), extra slots never win the argmin;
+  * Lloyd iterations recompute centers from one-hot sums; empty clusters
+    collapse to ~0 exactly like the reference's 1e-6-count division;
+  * quantization uses the straight-through estimator
+    q = feat - stop_grad(feat) + centers[ids] (kmeans_quantize.py:273-275);
+  * non-assign steps do NOT move centers: the reference's `update_centers`
+    computes means into a local that is never written back
+    (kmeans_quantize.py:58-78), so the effective behavior is "quantize with
+    cached centers/ids" — replicated here by simply reusing the state.
+
+TPU-first differences: the chunked cdist loops become one
+dist^2 = |x|^2 - 2 x c^T + |c|^2 matmul on the MXU; the equalize-cluster-size
+padding machinery (kmeans_quantize.py:89-144) is unnecessary — center updates
+are a one-hot matmul; dead (padding) splats carry zero weight.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KMeansState(NamedTuple):
+    centers: jnp.ndarray  # [k1, 9] coarse centers
+    cls_ids: jnp.ndarray  # [N] int32 coarse assignment
+    leaf_centers: jnp.ndarray  # [k1*k2+1, 6]
+    leaf_cls_ids: jnp.ndarray  # [N] int32 fine assignment
+    leaf_sub_num: jnp.ndarray  # [k1] int32 active leaves per root (iLeafSubNum)
+
+    @staticmethod
+    def create(n: int, k1: int, k2: int, dim: int = 6, pos_dim: int = 3) -> "KMeansState":
+        return KMeansState(
+            centers=jnp.zeros((k1, dim + pos_dim), jnp.float32),
+            cls_ids=jnp.zeros((n,), jnp.int32),
+            leaf_centers=jnp.zeros((k1 * k2 + 1, dim), jnp.float32),
+            # all points start in the "unassigned" bucket k1*k2
+            leaf_cls_ids=jnp.full((n,), k1 * k2, jnp.int32),
+            leaf_sub_num=jnp.full((k1,), k2, jnp.int32),
+        )
+
+
+def _dist2(x, c):
+    """[N,D] x [K,D] -> squared distances [N,K] via the MXU."""
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    c2 = jnp.sum(c * c, axis=-1)
+    return x2 - 2.0 * jnp.dot(x, c.T, preferred_element_type=jnp.float32) + c2[None, :]
+
+
+def _lloyd(feat, weight, centers, iters: int):
+    """weight [N] in {0,1}: dead splats don't pull centers. Returns
+    (centers, ids)."""
+    k = centers.shape[0]
+
+    def body(_, c):
+        d = _dist2(feat, c)
+        ids = jnp.argmin(d, axis=-1)
+        onehot = (ids[:, None] == jnp.arange(k)[None, :]).astype(jnp.float32)
+        onehot = onehot * weight[:, None]
+        sums = jnp.dot(onehot.T, feat, preferred_element_type=jnp.float32)
+        counts = onehot.sum(axis=0) + 1e-6
+        return sums / counts[:, None]
+
+    centers = jax.lax.fori_loop(0, iters, body, centers)
+    ids = jnp.argmin(_dist2(feat, centers), axis=-1).astype(jnp.int32)
+    return centers, ids
+
+
+def init_centers_from_points(feat: jnp.ndarray, weight: jnp.ndarray, k: int, key) -> jnp.ndarray:
+    """Random alive points as initial centers (kmeans_quantize.py:156-159)."""
+    p = weight / jnp.maximum(weight.sum(), 1.0)
+    idx = jax.random.choice(key, feat.shape[0], shape=(k,), replace=False, p=p)
+    return feat[idx]
+
+
+def assign_root(
+    state: KMeansState,
+    ins_feat: jnp.ndarray,  # [N,6] raw (un-normalized) features
+    xyz: jnp.ndarray,  # [N,3]
+    alive: jnp.ndarray,  # [N] bool
+    pos_weight: float,
+    key,
+    iters: int = 5,
+    init: bool = False,
+) -> KMeansState:
+    feat = jnp.concatenate([ins_feat, xyz * pos_weight], axis=-1)
+    feat = jax.lax.stop_gradient(feat)
+    w = alive.astype(jnp.float32)
+    centers = state.centers
+    if init:
+        centers = init_centers_from_points(feat, w, centers.shape[0], key)
+    centers, ids = _lloyd(feat, w, centers, iters)
+    return state._replace(centers=centers, cls_ids=ids)
+
+
+def assign_leaf(
+    state: KMeansState,
+    ins_feat: jnp.ndarray,  # [N,6]
+    alive: jnp.ndarray,
+    selected_root,  # traced int scalar
+    key,
+    k2: int,
+    iters: int = 5,
+    init: bool = False,
+) -> KMeansState:
+    """Re-cluster the 6-D features of one root's points into its k2 slots
+    (kmeans_quantize.py:195-206, 232-241). Slots beyond the root's active
+    leaf count (leaf_sub_num) are masked out of the argmin."""
+    feat = jax.lax.stop_gradient(ins_feat)
+    member = (state.cls_ids == selected_root) & alive
+    w = member.astype(jnp.float32)
+    start = selected_root * k2
+    n_sub = state.leaf_sub_num[selected_root]
+
+    local = jax.lax.dynamic_slice_in_dim(state.leaf_centers, start, k2, axis=0)
+    if init:
+        local = init_centers_from_points(feat, w + 1e-9, k2, key)
+    slot_ok = jnp.arange(k2) < n_sub
+
+    def body(_, c):
+        d = jnp.where(slot_ok[None, :], _dist2(feat, c), jnp.inf)
+        ids = jnp.argmin(d, axis=-1)
+        onehot = (ids[:, None] == jnp.arange(k2)[None, :]).astype(jnp.float32)
+        onehot = onehot * w[:, None]
+        sums = jnp.dot(onehot.T, feat, preferred_element_type=jnp.float32)
+        counts = onehot.sum(axis=0) + 1e-6
+        new_c = sums / counts[:, None]
+        return jnp.where(slot_ok[:, None], new_c, c)
+
+    local = jax.lax.fori_loop(0, iters, body, local)
+    ids = jnp.argmin(
+        jnp.where(slot_ok[None, :], _dist2(feat, local), jnp.inf), axis=-1
+    ).astype(jnp.int32)
+
+    leaf_centers = jax.lax.dynamic_update_slice_in_dim(
+        state.leaf_centers, local, start, axis=0
+    )
+    leaf_ids = jnp.where(member, ids + start, state.leaf_cls_ids)
+    return state._replace(leaf_centers=leaf_centers, leaf_cls_ids=leaf_ids)
+
+
+def quantize(state: KMeansState, ins_feat: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Straight-through quantized features [N, 6]."""
+    if mode == "root":
+        sampled = state.centers[state.cls_ids][:, :6]
+    else:
+        sampled = state.leaf_centers[state.leaf_cls_ids]
+    return ins_feat - jax.lax.stop_gradient(ins_feat) + jax.lax.stop_gradient(sampled)

@@ -1,0 +1,543 @@
+"""Five-stage training loop.
+
+TPU-first rewrite of the reference trainer (reference train.py:157-635):
+stage 0 3DGS pretrain -> stage 1 instance-feature learning -> stage 2.1
+coarse codebook -> stage 2.2 fine codebook -> stage 3 language association
+(train/lang.py). Differences by design:
+
+  * every view's ground truth (images, decoded SAM ids, alpha masks, camera
+    params) is preloaded into device-resident stacked arrays; the jitted
+    step takes a view index and slices on device — no host->device transfer
+    in the hot loop (the reference moves tensors per step via to_gpu/to_cpu,
+    scene/cameras.py:94-107);
+  * the iteration number is a traced scalar: LR schedules, SH-degree
+    activation (coefficient masking instead of a growing eval degree), and
+    stage-dependent loss constants compile once per stage;
+  * densification/opacity-reset are separate jitted events on the padded
+    state; "detach frozen params" becomes zero LRs + stop_gradient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opengaussian_tpu.cameras import Camera
+from opengaussian_tpu.config import Config
+from opengaussian_tpu.data.dataset import Scene, View
+from opengaussian_tpu.data.ply import save_gaussian_ply
+from opengaussian_tpu.models import gaussians as G
+from opengaussian_tpu.models import optimizer as opt_mod
+from opengaussian_tpu.ops import kmeans as km
+from opengaussian_tpu.ops.rasterize import RasterizeConfig
+from opengaussian_tpu.render import render, render_clusters
+from opengaussian_tpu.train import checkpoint as ckpt
+from opengaussian_tpu.train import losses
+from opengaussian_tpu.train import pseudo as pseudo_mod
+from opengaussian_tpu.utils import codebook as cb
+from opengaussian_tpu.utils import masks as masku
+
+
+# ---------------------------------------------------------------------------
+# device-resident view bundle
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ViewBundle:
+    R: Any  # [V,3,3]
+    t: Any  # [V,3]
+    fx: Any
+    fy: Any
+    cx: Any
+    cy: Any
+    gt_images: Any  # [V,H,W,3]
+    alpha_masks: Any  # [V,H,W] (1.0 where no mask given)
+    has_alpha: Any  # [V] bool
+    sam_ids: Any  # [V,H,W] int32 (0 = no sidecar / invalid)
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+    max_masks: int = dataclasses.field(metadata=dict(static=True))
+
+    def camera(self, i) -> Camera:
+        return Camera(
+            R_w2c=self.R[i], t_w2c=self.t[i], fx=self.fx[i], fy=self.fy[i],
+            cx=self.cx[i], cy=self.cy[i], width=self.width, height=self.height,
+        )
+
+    @property
+    def num_views(self) -> int:
+        return self.gt_images.shape[0]
+
+
+def bundle_views(views: list[View], sam_level: int) -> ViewBundle:
+    assert views, "no views"
+    h, w = views[0].gt_image.shape[:2]
+    for v in views:
+        assert v.gt_image.shape[:2] == (h, w), "views must share a resolution"
+    ids = []
+    max_masks = 8
+    for v in views:
+        if v.sam_mask is not None:
+            m = masku.decode_sam_level(np.asarray(v.sam_mask), sam_level)
+            max_masks = max(max_masks, int(m.max()))
+            ids.append(m.astype(np.int32))
+        else:
+            ids.append(np.zeros((h, w), np.int32))
+    max_masks = int(np.ceil(max_masks / 8) * 8)
+    return ViewBundle(
+        R=jnp.stack([jnp.asarray(v.camera.R_w2c) for v in views]),
+        t=jnp.stack([jnp.asarray(v.camera.t_w2c) for v in views]),
+        fx=jnp.stack([jnp.asarray(v.camera.fx) for v in views]),
+        fy=jnp.stack([jnp.asarray(v.camera.fy) for v in views]),
+        cx=jnp.stack([jnp.asarray(v.camera.cx) for v in views]),
+        cy=jnp.stack([jnp.asarray(v.camera.cy) for v in views]),
+        gt_images=jnp.stack([jnp.asarray(v.gt_image) for v in views]),
+        alpha_masks=jnp.stack(
+            [jnp.asarray(v.gt_alpha_mask if v.gt_alpha_mask is not None
+                         else np.ones((h, w), np.float32)) for v in views]
+        ),
+        has_alpha=jnp.asarray([v.gt_alpha_mask is not None for v in views]),
+        sam_ids=jnp.asarray(np.stack(ids)),
+        width=w,
+        height=h,
+        max_masks=max_masks,
+    )
+
+
+def _mask_sh(gs: G.GaussianState, iteration) -> G.GaussianState:
+    """SH-degree warmup: degree rises every 1000 iters (reference
+    train.py:255-256); inactive coefficients are masked to zero, which also
+    blocks their gradients exactly like rendering at a lower degree."""
+    deg = jnp.minimum(iteration // 1000, 3)
+    n_active = (deg + 1) ** 2
+    idx = jnp.arange(gs.sh_rest.shape[1]) + 1
+    mask = (idx < n_active).astype(gs.sh_rest.dtype)
+    return dataclasses.replace(gs, sh_rest=gs.sh_rest * mask[None, :, None])
+
+
+def _freeze_geometry(params: dict) -> dict:
+    out = dict(params)
+    for k in params:
+        if k != "ins_feat":
+            out[k] = jax.lax.stop_gradient(params[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# jitted steps (one per stage)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "spatial_lr_scale"),
+         donate_argnums=(0, 1, 2))
+def stage0_step(state, adam, stats, bundle: ViewBundle, view_idx, iteration, bg,
+                spatial_lr_scale: float, rcfg: RasterizeConfig, ocfg):
+    cam = bundle.camera(view_idx)
+    gt = bundle.gt_images[view_idx]
+
+    def loss_fn(params, tap):
+        gs = _mask_sh(state.with_params(params), iteration)
+        out = render(cam, gs, bg, 3, rcfg, screen_tap=tap)
+        loss = losses.rgb_loss(out.render, gt, ocfg.lambda_dssim)
+        loss = loss + jnp.where(
+            bundle.has_alpha[view_idx],
+            jnp.mean((out.alpha - bundle.alpha_masks[view_idx]) ** 2),
+            0.0,
+        )
+        return loss, out
+
+    tap0 = jnp.zeros((state.capacity, 2))
+    (loss, out), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        state.params(), tap0
+    )
+    lrs = opt_mod.learning_rates(ocfg, iteration, spatial_lr_scale)
+    new_p, adam = opt_mod.apply(state.params(), grads[0], adam, lrs)
+    stats = stats.update(grads[1], out.radii)
+    return state.with_params(new_p), adam, stats, loss, losses.psnr(out.render, gt)
+
+
+def _alpha_mask_loss(out_alpha, bundle, view_idx):
+    return jnp.mean((out_alpha - bundle.alpha_masks[view_idx]) ** 2)
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
+         donate_argnums=(0, 1))
+def stage1_step(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
+                rescale_factor, rcfg: RasterizeConfig, ocfg,
+                with_alpha_loss: bool = False):
+    cam = bundle.camera(view_idx)
+    sam = bundle.sam_ids[view_idx]
+
+    def loss_fn(params):
+        gs = state.with_params(_freeze_geometry(params))
+        out = render(
+            cam, gs, bg, 3, rcfg,
+            render_color=with_alpha_loss, render_feat_map=True,
+            rescale_factor=rescale_factor,
+        )
+        sil = (out.silhouette > 0.7).astype(jnp.float32)
+        masks, valid = masku.masks_onehot(sam, bundle.max_masks)
+        means = masku.mask_feature_mean(out.ins_feat, masks, image_mask=sil)
+        l_coh = losses.cohesion_loss(out.ins_feat, masks, valid, means)
+        l_sep = losses.separation_loss(means, valid, iteration)
+        loss = l_sep + ocfg.loss_weight * l_coh
+        if with_alpha_loss:
+            loss = loss + _alpha_mask_loss(out.alpha, bundle, view_idx)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params())
+    lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
+    new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
+    return state.with_params(new_p), adam, loss
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
+         donate_argnums=(0, 1))
+def stage21_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
+                 rescale_factor, pseudo_feat, rcfg: RasterizeConfig, ocfg,
+                 with_alpha_loss: bool = False):
+    """Coarse-codebook stage: L1(rendered quantized feat, pseudo feat) inside
+    the rendered silhouette (reference train.py:464-473)."""
+    cam = bundle.camera(view_idx)
+
+    def loss_fn(params):
+        p = _freeze_geometry(params)
+        q = km.quantize(kms, p["ins_feat"], "root")
+        gs = state.with_params(p)
+        out = render(
+            cam, gs, bg, 3, rcfg,
+            render_color=with_alpha_loss, render_feat_map=True,
+            quantized_feat=q, rescale_factor=rescale_factor,
+        )
+        keep = (out.silhouette > 0.7).astype(jnp.float32)[..., None]
+        loss = losses.l1_loss(out.ins_feat, pseudo_feat, keep)
+        if with_alpha_loss:
+            loss = loss + _alpha_mask_loss(out.alpha, bundle, view_idx)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params())
+    lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
+    new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
+    return state.with_params(new_p), adam, loss
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
+         donate_argnums=(0, 1))
+def stage22_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
+                 rescale_factor, pseudo_feat, root_id, root_visible,
+                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+    """Fine-codebook stage: render the selected coarse cluster with
+    leaf-quantized features, L2 against the pseudo features inside the
+    cluster silhouette (reference train.py:475-489). Skips the update when
+    the root is invisible in this view (no_need_bk, train.py:497)."""
+    cam = bundle.camera(view_idx)
+
+    def loss_fn(params):
+        p = _freeze_geometry(params)
+        q = km.quantize(kms, p["ins_feat"], "leaf")
+        gs = state.with_params(p)
+        out = render_clusters(
+            cam, gs, bg, kms.cls_ids, root_id[None], rcfg,
+            quantized_feat=q, rescale_factor=rescale_factor, min_points=1,
+        )
+        sil = (out.cluster_silhouettes[0] > 0.7).astype(jnp.float32)[..., None]
+        ok = out.cluster_occur[0] & root_visible
+        loss = losses.l2_loss(out.cluster_imgs[0], pseudo_feat, sil)
+        if with_alpha_loss:
+            color = render(cam, gs, bg, 3, rcfg)
+            loss = loss + _alpha_mask_loss(color.alpha, bundle, view_idx)
+        return jnp.where(ok, loss, 0.0), ok
+
+    (loss, ok), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params())
+    lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
+    grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+    new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
+    return state.with_params(new_p), adam, loss, ok
+
+
+@partial(jax.jit, static_argnames=("rcfg",))
+def eval_view(state, bundle: ViewBundle, view_idx, bg, rcfg: RasterizeConfig):
+    cam = bundle.camera(view_idx)
+    out = render(cam, state, bg, 3, rcfg)
+    img = jnp.clip(out.render, 0.0, 1.0)
+    gt = bundle.gt_images[view_idx]
+    return img, losses.psnr(img, gt), losses.l1_loss(img, gt)
+
+
+# ---------------------------------------------------------------------------
+# host-side trainer
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    def __init__(self, scene: Scene, cfg: Config, out_dir: str,
+                 rcfg: RasterizeConfig | None = None, seed: int = 0):
+        self.scene = scene
+        self.cfg = cfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "cfg_args.json"), "w") as f:
+            f.write(cfg.to_json())
+
+        # sorted order is load-bearing for pseudo labels (train.py:673)
+        self.train_views = sorted(scene.train_views, key=lambda v: v.image_name)
+        self.bundle = bundle_views(self.train_views, cfg.opt.sam_level)
+        self.test_bundle = (
+            bundle_views(sorted(scene.test_views, key=lambda v: v.image_name),
+                         cfg.opt.sam_level)
+            if scene.test_views else None
+        )
+        self.rcfg = rcfg or RasterizeConfig()
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
+        )
+        self.spatial_lr_scale = scene.cameras_extent
+
+        self.state = G.create_from_pcd(
+            np.asarray(scene.points, np.float32),
+            np.asarray(scene.colors, np.float32),
+            sh_degree=cfg.model.sh_degree,
+            seed=seed,
+        )
+        self.adam = opt_mod.init(self.state.params())
+        self.stats = G.DensifyStats.zeros(self.state.capacity)
+        self.kms = km.KMeansState.create(
+            self.state.capacity, cfg.opt.root_node_num, cfg.opt.leaf_node_num
+        )
+        self.pseudo: pseudo_mod.PseudoLabels | None = None
+        self.any_alpha = bool(np.asarray(self.bundle.has_alpha).any())
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.iteration = 0
+        self.root_id = 0
+        self._view_queue: list[int] = []
+        self.history: list[dict] = []
+
+    # -- helpers --
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _next_view(self) -> int:
+        if not self._view_queue:
+            self._view_queue = list(self.rng.permutation(self.bundle.num_views))
+        return int(self._view_queue.pop())
+
+    def _stage(self, it: int) -> str:
+        o = self.cfg.opt
+        if it <= o.start_ins_feat_iter:
+            return "0"
+        if it <= o.start_root_cb_iter:
+            return "1"
+        if it <= o.start_leaf_cb_iter:
+            return "2.1"
+        return "2.2"
+
+    def _maybe_grow(self):
+        frac = int(self.state.num_alive) / self.state.capacity
+        if frac > 0.9:
+            new_cap = G.round_capacity(int(self.state.capacity * 2))
+            self.state = G.grow_capacity(self.state, new_cap)
+            mu = G.grow_capacity(self.adam.mu, new_cap)
+            nu = G.grow_capacity(self.adam.nu, new_cap)
+            self.adam = opt_mod.AdamState(mu=mu, nu=nu, count=self.adam.count)
+            self.stats = G.grow_capacity(self.stats, new_cap)
+            self.kms = self.kms._replace(
+                cls_ids=G.grow_capacity(self.kms.cls_ids, new_cap),
+                leaf_cls_ids=jnp.concatenate([
+                    self.kms.leaf_cls_ids,
+                    jnp.full((new_cap - self.kms.leaf_cls_ids.shape[0],),
+                             self.cfg.opt.root_node_num * self.cfg.opt.leaf_node_num,
+                             jnp.int32),
+                ]),
+            )
+
+    def _rescale_factor(self, it: int) -> float:
+        """50% chance of a uniform rescale once past start_root_cb_iter
+        (reference gaussian_renderer/__init__.py:121-124, train.py:347-350)."""
+        if it <= self.cfg.opt.start_root_cb_iter:
+            return 1.0
+        if self.rng.random() > 0.5:
+            return float(self.rng.random())
+        return 1.0
+
+    def _ensure_pseudo(self, mode: str):
+        cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
+        self.pseudo = pseudo_mod.construct_pseudo_labels(
+            self.state, cams, self.bundle.sam_ids, self.bg,
+            self.bundle.max_masks, self.rcfg, mode=mode,
+            cls_ids=self.kms.cls_ids, k1=self.cfg.opt.root_node_num,
+            k2=self.cfg.opt.leaf_node_num,
+        )
+        if mode == "leaf" and self.pseudo.leaf_sub_num is not None:
+            self.kms = self.kms._replace(leaf_sub_num=self.pseudo.leaf_sub_num)
+
+    # -- main loop --
+
+    def train(self, until: int | None = None, log_every: int = 200):
+        o = self.cfg.opt
+        until = until or o.iterations
+        t_start = time.time()
+        while self.iteration < until:
+            self.iteration += 1
+            it = self.iteration
+            vi = self._next_view()
+            stage = self._stage(it)
+
+            # stage-entry preprocessing
+            if it == o.start_root_cb_iter + 1:
+                self._ensure_pseudo("root")
+            if it == o.start_leaf_cb_iter + 1:
+                self._ensure_pseudo("leaf")
+
+            # codebook updates (train.py:344-355): reassign every 200 (root)
+            # or 50 (leaf) steps; other steps keep cached centers/ids
+            if stage == "2.1":
+                if it % 200 == 1 or it == o.start_root_cb_iter + 1:
+                    self.kms = km.assign_root(
+                        self.kms, self.state.ins_feat, self.state.means,
+                        self.state.alive, o.pos_weight, self._next_key(),
+                        init=(it == o.start_root_cb_iter + 1),
+                    )
+            elif stage == "2.2":
+                if (it - o.start_leaf_cb_iter) % o.leaf_update_fr == 0:
+                    self.root_id = (self.root_id + 1) % o.root_node_num
+                if it % 50 == 1 or it == o.start_leaf_cb_iter + 1:
+                    self.kms = km.assign_leaf(
+                        self.kms, self.state.ins_feat, self.state.alive,
+                        jnp.int32(self.root_id), self._next_key(),
+                        k2=o.leaf_node_num,
+                        init=(it == o.start_leaf_cb_iter + 1),
+                    )
+
+            bg = (jnp.asarray(self.rng.random(3), jnp.float32)
+                  if o.random_background and stage == "0" else self.bg)
+
+            if stage == "0":
+                self.state, self.adam, self.stats, loss, psnr = stage0_step(
+                    self.state, self.adam, self.stats, self.bundle,
+                    jnp.int32(vi), jnp.int32(it), bg, self.spatial_lr_scale,
+                    self.rcfg, o,
+                )
+                # densification events (train.py:593-605)
+                if it < o.densify_until_iter and not o.frozen_init_pts:
+                    if it > o.densify_from_iter and it % o.densification_interval == 0:
+                        self._maybe_grow()
+                        self.state, (mu, nu), self.stats, _ = G.densify_and_prune(
+                            self.state, (self.adam.mu, self.adam.nu), self.stats,
+                            self._next_key(), o.densify_grad_threshold, 0.005,
+                            self.scene.cameras_extent,
+                            20.0 if it > o.opacity_reset_interval else 0.0,
+                            o.percent_dense,
+                        )
+                        self.adam = opt_mod.AdamState(mu, nu, self.adam.count)
+                    if it % o.opacity_reset_interval == 0 or (
+                        self.cfg.model.white_background and it == o.densify_from_iter
+                    ):
+                        self.state, (mu, nu) = G.reset_opacity(
+                            self.state, (self.adam.mu, self.adam.nu)
+                        )
+                        self.adam = opt_mod.AdamState(mu, nu, self.adam.count)
+            elif stage == "1":
+                self.state, self.adam, loss = stage1_step(
+                    self.state, self.adam, self.bundle, jnp.int32(vi),
+                    jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
+                    self.rcfg, o, self.any_alpha,
+                )
+            elif stage == "2.1":
+                self.state, self.adam, loss = stage21_step(
+                    self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
+                    jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
+                    self.pseudo.feat[vi], self.rcfg, o, self.any_alpha,
+                )
+            else:
+                root_vis = (
+                    self.pseudo.cluster_occur[vi, self.root_id]
+                    if self.pseudo is not None and self.pseudo.cluster_occur is not None
+                    else jnp.bool_(True)
+                )
+                self.state, self.adam, loss, _ = stage22_step(
+                    self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
+                    jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
+                    self.pseudo.feat[vi], jnp.int32(self.root_id), root_vis,
+                    self.rcfg, o, self.any_alpha,
+                )
+
+            if it % log_every == 0 or it == until:
+                rec = dict(
+                    iteration=it, stage=stage, loss=float(loss),
+                    num_alive=int(self.state.num_alive),
+                    elapsed=time.time() - t_start,
+                )
+                self.history.append(rec)
+                print(
+                    f"[it {it}] stage {stage} loss {rec['loss']:.5f} "
+                    f"pts {rec['num_alive']} ({rec['elapsed']:.0f}s)",
+                    flush=True,
+                )
+
+    def run_stage3(self) -> dict:
+        """Language association (reference train.py:622-631): requires the
+        leaf codebook; saves cluster_lang.npz in the output dir."""
+        from opengaussian_tpu.train import lang
+
+        if self.pseudo is None or self.pseudo.cluster_occur is None:
+            self._ensure_pseudo("leaf")
+        tables = lang.clip_tables_from_views(self.train_views, self.cfg.opt.sam_level)
+        return lang.associate_language(
+            self.state, self.kms, self.bundle, self.pseudo, tables, self.bg,
+            self.cfg.opt.root_node_num, self.cfg.opt.leaf_node_num, self.rcfg,
+            out_path=os.path.join(self.out_dir, "cluster_lang.npz"),
+        )
+
+    # -- evaluation / artifacts --
+
+    def evaluate(self, max_views: int = 25) -> dict:
+        bundle = self.test_bundle or self.bundle
+        n = min(bundle.num_views, max_views)
+        psnrs, l1s = [], []
+        for i in range(n):
+            _, p, l1 = eval_view(self.state, bundle, jnp.int32(i), self.bg, self.rcfg)
+            psnrs.append(float(p))
+            l1s.append(float(l1))
+        return dict(psnr=float(np.mean(psnrs)), l1=float(np.mean(l1s)), views=n)
+
+    def save(self, tag: str | None = None):
+        it = self.iteration
+        pc_dir = os.path.join(self.out_dir, f"point_cloud/iteration_{it}")
+        os.makedirs(pc_dir, exist_ok=True)
+        save_gaussian_ply(os.path.join(pc_dir, "point_cloud.ply"), self.state)
+        if it > self.cfg.opt.start_root_cb_iter:
+            alive = np.asarray(self.state.alive)
+            cb.save_codebook(
+                os.path.join(pc_dir, "root_code_book"),
+                np.asarray(self.kms.centers), np.asarray(self.kms.cls_ids)[alive],
+            )
+            if it > self.cfg.opt.start_leaf_cb_iter:
+                cb.save_codebook(
+                    os.path.join(pc_dir, "leaf_code_book"),
+                    np.asarray(self.kms.leaf_centers),
+                    np.asarray(self.kms.leaf_cls_ids)[alive],
+                )
+
+    def save_checkpoint(self):
+        ckpt.save(
+            os.path.join(self.out_dir, f"chkpnt{self.iteration}.npz"),
+            self.state, self.adam, self.stats, self.kms, self.iteration,
+        )
+
+    def restore_checkpoint(self, path: str):
+        self.state, self.adam, self.stats, kms, self.iteration = ckpt.load(path)
+        self.state = ckpt.ensure_ins_feat(self.state)
+        if kms is not None:
+            self.kms = kms

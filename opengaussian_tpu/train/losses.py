@@ -47,9 +47,11 @@ def cohesion_loss(feat_map, masks, mask_valid, feat_means):
     averaged over valid masks (reference train.py:102-121).
     """
     m = masks.astype(jnp.float32)
-    # dist [M, H, W] = || f(p) - mean_m ||
+    # dist [M, H, W] = || f(p) - mean_m ||; double-where so exact-zero diffs
+    # (empty masks, background pixels) don't emit NaN gradients
     diff = feat_map[None] - feat_means[:, None, None, :]
-    dist = jnp.linalg.norm(diff, axis=-1) * m
+    sq = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0) * m
     per_mask = dist.sum(axis=(1, 2)) / jnp.maximum(m.sum(axis=(1, 2)), 1.0)
     per_mask = jnp.where(mask_valid, per_mask, 0.0)
     return per_mask.sum() / jnp.maximum(mask_valid.sum(), 1)

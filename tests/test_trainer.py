@@ -1,0 +1,131 @@
+import os
+
+import numpy as np
+import pytest
+
+from opengaussian_tpu.config import Config, ModelConfig, OptimizationConfig
+from opengaussian_tpu.data import dataset
+from opengaussian_tpu.ops.rasterize import RasterizeConfig
+from opengaussian_tpu.train.loop import Trainer
+from tests.test_data import make_colmap_scene
+
+TINY = OptimizationConfig(
+    iterations=120,
+    start_ins_feat_iter=30,
+    start_root_cb_iter=60,
+    start_leaf_cb_iter=90,
+    densify_from_iter=5,
+    densify_until_iter=25,
+    densification_interval=10,
+    opacity_reset_interval=1000,
+    root_node_num=4,
+    leaf_node_num=3,
+    leaf_update_fr=10,
+    sam_level=3,
+)
+RCFG = RasterizeConfig(max_per_tile=128, chunk=32, min_intersections=8192)
+
+
+@pytest.fixture(scope="module")
+def toy_trainer(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    make_colmap_scene(root, n_views=5)
+    scene = dataset.load_scene(root)
+    cfg = Config(model=ModelConfig(), opt=TINY)
+    out = str(tmp_path_factory.mktemp("out"))
+    tr = Trainer(scene, cfg, out, rcfg=RCFG)
+    return tr
+
+
+def test_full_stage_machine(toy_trainer):
+    tr = toy_trainer
+    # stage 0
+    tr.train(until=30, log_every=30)
+    assert tr._stage(tr.iteration) == "0"
+    m0 = tr.evaluate(max_views=2)
+    assert np.isfinite(m0["psnr"])
+    # stage 1 (instance features)
+    tr.train(until=60, log_every=30)
+    assert tr._stage(tr.iteration) == "1"
+    # stage 2.1: pseudo labels + coarse codebook
+    tr.train(until=90, log_every=30)
+    assert tr.pseudo is not None
+    assert tr.pseudo.feat.shape[0] == tr.bundle.num_views
+    ids = np.asarray(tr.kms.cls_ids)
+    alive = np.asarray(tr.state.alive)
+    assert ids[alive].max() < 4
+    # stage 2.2: leaf codebook
+    tr.train(until=120, log_every=30)
+    assert tr.pseudo.cluster_occur is not None
+    assert tr.pseudo.leaf_sub_num is not None
+    assert (np.asarray(tr.pseudo.leaf_sub_num) <= 3).all()
+    leaf_ids = np.asarray(tr.kms.leaf_cls_ids)[alive]
+    assert leaf_ids.max() <= 4 * 3  # within k1*k2 (+unassigned bucket)
+
+
+def test_artifacts_roundtrip(toy_trainer, tmp_path):
+    tr = toy_trainer
+    tr.save()
+    it = tr.iteration
+    pc = os.path.join(tr.out_dir, f"point_cloud/iteration_{it}")
+    assert os.path.exists(os.path.join(pc, "point_cloud.ply"))
+    assert os.path.exists(os.path.join(pc, "root_code_book/kmeans_inds.bin"))
+    assert os.path.exists(os.path.join(pc, "leaf_code_book/kmeans_inds.bin"))
+    from opengaussian_tpu.utils.codebook import load_codebook
+
+    centers, inds = load_codebook(os.path.join(pc, "root_code_book"))
+    assert centers.shape == (4, 9)
+    alive = np.asarray(tr.state.alive)
+    np.testing.assert_array_equal(inds, np.asarray(tr.kms.cls_ids)[alive])
+
+    tr.save_checkpoint()
+    ck = os.path.join(tr.out_dir, f"chkpnt{it}.npz")
+    assert os.path.exists(ck)
+    state_before = np.asarray(tr.state.means)
+    tr.restore_checkpoint(ck)
+    np.testing.assert_array_equal(np.asarray(tr.state.means), state_before)
+    assert tr.iteration == it
+
+
+def test_stage0_learns_on_consistent_scene(tmp_path):
+    """Multi-view-consistent ground truth (rendered from a GT gaussian set):
+    stage-0 training must raise PSNR."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tests.test_model import toy_state
+    from opengaussian_tpu.render import render as render_fn
+
+    import dataclasses
+
+    from opengaussian_tpu.models.gaussians import inverse_sigmoid
+
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_views=6, with_sidecars=False)
+    scene = dataset.load_scene(root)
+    gt_state = toy_state(80, seed=5)
+    gt_state = dataclasses.replace(
+        gt_state,
+        logit_opacity=jnp.full_like(gt_state.logit_opacity, float(inverse_sigmoid(jnp.float32(0.8)))),
+    )
+    # overwrite images with renders of the GT gaussians
+    for v in scene.train_views:
+        img = render_fn(v.camera, gt_state, jnp.zeros(3), 3, RCFG).render
+        v.gt_image = np.clip(np.asarray(img), 0, 1)
+    # init points near the gt means
+    rng = np.random.default_rng(0)
+    scene.points = np.asarray(gt_state.means)[:80] + rng.normal(0, 0.05, (80, 3))
+    scene.colors = rng.uniform(0.2, 0.8, (80, 3))
+
+    cfg = Config(opt=OptimizationConfig(
+        iterations=800, start_ins_feat_iter=800, start_root_cb_iter=800,
+        start_leaf_cb_iter=800, densify_from_iter=100,
+        densify_until_iter=300, densification_interval=100,
+        opacity_reset_interval=10_000,
+    ))
+    tr = Trainer(scene, cfg, str(tmp_path / "out"), rcfg=RCFG)
+    tr.train(until=10, log_every=10)
+    p0 = tr.evaluate(max_views=3)["psnr"]
+    tr.train(until=800, log_every=400)
+    p1 = tr.evaluate(max_views=3)["psnr"]
+    assert p1 > p0 + 2.0, (p0, p1)
