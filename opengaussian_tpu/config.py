@@ -68,6 +68,9 @@ class OptimizationConfig:
     frozen_init_pts: bool = False
     sam_level: int = 3
     save_memory: bool = False
+    # fork extension: one-shot cross-view SAM mask refinement at stage-1
+    # entry (reference train.py:393-426)
+    enable_multiview_sam_refinement: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

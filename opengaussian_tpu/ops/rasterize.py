@@ -44,9 +44,18 @@ class RasterizeConfig:
     chunk: int = 64  # splats blended per scan step
     intersection_multiple: int = 8  # P_max = multiple * N (rounded up)
     min_intersections: int = 65536
+    # blend backend: "auto" = fused Pallas kernel on TPU / XLA scan elsewhere;
+    # "pallas" forces the kernel (interpret mode off-TPU, for tests);
+    # "xla" forces the scan path.
+    backend: str = "auto"
 
     def max_intersections(self, n: int) -> int:
         return max(self.intersection_multiple * n, self.min_intersections)
+
+    def use_pallas(self) -> bool:
+        if self.backend == "auto":
+            return jax.default_backend() == "tpu"
+        return self.backend == "pallas"
 
 
 def _tile_pixels(grid_x: int, grid_y: int) -> jnp.ndarray:
@@ -256,16 +265,30 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
     H, W = camera.height, camera.width
     opac = jnp.where(proj.valid, opacities, 0.0)
     full_payload = jnp.concatenate([payload, proj.depth[:, None]], axis=-1)
-    accum, t_final = _blend_tiles(
-        proj.mean2d,
-        proj.conic,
-        opac,
-        full_payload,
-        bins.gauss_idx,
-        bins.counts,
-        pix,
-        config.chunk,
-    )
+    if config.use_pallas():
+        from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
+
+        accum, t_final = blend_tiles_pallas(
+            proj.mean2d,
+            proj.conic,
+            opac,
+            full_payload,
+            bins.gauss_idx,
+            bins.counts,
+            config.chunk,
+            grid_x,
+        )
+    else:
+        accum, t_final = _blend_tiles(
+            proj.mean2d,
+            proj.conic,
+            opac,
+            full_payload,
+            bins.gauss_idx,
+            bins.counts,
+            pix,
+            config.chunk,
+        )
     C = payload.shape[1]
     img_tiles = accum[:, :, :C] + t_final[..., None] * bg[None, None, :]
     image = _untile(img_tiles, grid_x, grid_y, H, W)

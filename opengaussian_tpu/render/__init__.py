@@ -151,6 +151,49 @@ def render_clusters(
         keep = keep & extra_mask[None, :]
     if better_vis:
         keep = keep & jnp.all(scales < scale_limit, axis=-1)[None, :]
+    return _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points)
+
+
+def render_selection(
+    camera: Camera,
+    gs: GaussianState,
+    bg: jnp.ndarray,
+    select_mask: jnp.ndarray,  # [N] bool — e.g. union of text-matched leaves
+    config: RasterizeConfig = RasterizeConfig(),
+    *,
+    payload_rgb: bool = True,
+    active_sh_degree: int = 3,
+    better_vis: bool = True,
+    scale_limit: float = 0.1,
+    min_points: int = 10,
+) -> RenderOutputs:
+    """Render one explicit subset of splats (text/click 3D object selection;
+    reference gaussian_renderer/__init__.py:276-356 with selected_leaf_id).
+    KNN outlier post-processing is applied by the caller on the mask
+    (ops/knn.statistical_outlier_mask), host-side."""
+    if payload_rgb:
+        payload = sh_to_rgb(active_sh_degree, gs.sh, gs.means, camera.cam_center)
+        fbg = bg
+    else:
+        payload = encoded_ins_feat(gs)
+        fbg = jnp.concatenate([bg, bg])
+    keep = select_mask & gs.alive
+    if better_vis:
+        keep = keep & jnp.all(gs.scales < scale_limit, axis=-1)
+    cov3d = build_cov3d(gs.scales, gs.quats)
+    out = _render_groups(
+        camera, gs, keep[None, :], payload, fbg, cov3d, config, min_points
+    )
+    return dataclasses.replace(
+        out,
+        cluster_imgs=out.cluster_imgs[0],
+        cluster_silhouettes=out.cluster_silhouettes[0],
+        cluster_occur=out.cluster_occur[0],
+        cluster_valid=out.cluster_valid[0],
+    )
+
+
+def _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points):
     counts = keep.sum(axis=-1)
     valid = counts >= min_points
 

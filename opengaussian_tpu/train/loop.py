@@ -394,6 +394,14 @@ class Trainer:
             vi = self._next_view()
             stage = self._stage(it)
 
+            # fork extension: one-shot multi-view SAM mask refinement right
+            # after stage 1 begins (reference train.py:393-426)
+            if (
+                o.enable_multiview_sam_refinement
+                and it == o.start_ins_feat_iter + 1
+            ):
+                self.refine_sam_masks()
+
             # stage-entry preprocessing
             if it == o.start_root_cb_iter + 1:
                 self._ensure_pseudo("root")

@@ -1,0 +1,88 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opengaussian_tpu.ops.projection import build_cov3d
+from opengaussian_tpu.ops.rasterize import RasterizeConfig, rasterize
+from tests.test_rasterize import make_cam, random_scene
+
+XLA = RasterizeConfig(max_per_tile=128, chunk=32, min_intersections=16384, backend="xla")
+PALLAS = dataclasses.replace(XLA, backend="pallas")
+
+
+@pytest.mark.parametrize("seed,n", [(0, 60), (1, 300)])
+def test_pallas_forward_matches_xla(seed, n):
+    cam = make_cam(64, 48)
+    means, scales, quats, op, cols = random_scene(n, seed=seed)
+    cov = build_cov3d(scales, quats)
+    bg = jnp.array([0.2, 0.1, 0.4])
+    a = rasterize(cam, means, cov, op, cols, bg, XLA)
+    b = rasterize(cam, means, cov, op, cols, bg, PALLAS)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(b.depth), np.asarray(a.depth),
+                               atol=3e-4, rtol=1e-4)
+
+
+def test_pallas_multichannel():
+    cam = make_cam(48, 32)
+    means, scales, quats, op, cols = random_scene(100, seed=2, channels=9)
+    cov = build_cov3d(scales, quats)
+    bg = jnp.asarray(np.linspace(0, 1, 9).astype(np.float32))
+    a = rasterize(cam, means, cov, op, cols, bg, XLA)
+    b = rasterize(cam, means, cov, op, cols, bg, PALLAS)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_pallas_gradients_match_xla():
+    cam = make_cam(48, 32)
+    means, scales, quats, op, cols = random_scene(120, seed=3)
+    bg = jnp.array([0.1, 0.3, 0.2])
+    target = jnp.asarray(
+        np.random.default_rng(4).uniform(size=(32, 48, 3)).astype(np.float32)
+    )
+
+    def make_loss(cfg):
+        def loss(means, scales, quats, op, cols):
+            out = rasterize(cam, means, build_cov3d(scales, quats), op, cols, bg, cfg)
+            return (
+                jnp.sum((out.image - target) ** 2)
+                + 0.05 * jnp.sum(out.alpha)
+                + 0.01 * jnp.sum(out.depth)
+            )
+        return loss
+
+    args = (means, scales, quats, op, cols)
+    g_xla = jax.grad(make_loss(XLA), argnums=tuple(range(5)))(*args)
+    g_pal = jax.grad(make_loss(PALLAS), argnums=tuple(range(5)))(*args)
+    for name, a, b in zip(("means", "scales", "quats", "op", "cols"), g_xla, g_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=1e-3, err_msg=f"grad mismatch: {name}"
+        )
+
+
+def test_pallas_early_termination_heavy_overdraw():
+    """Stacked opaque splats exercise the early-stop/freeze path."""
+    cam = make_cam(32, 32)
+    n = 80
+    rng = np.random.default_rng(5)
+    means = jnp.asarray(
+        np.stack([rng.normal(0, 0.05, n), rng.normal(0, 0.05, n),
+                  np.linspace(2, 4, n)], -1).astype(np.float32)
+    )
+    scales = jnp.full((n, 3), 0.3)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+    op = jnp.full((n,), 0.97)
+    cols = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    cov = build_cov3d(scales, quats)
+    a = rasterize(cam, means, cov, op, cols, jnp.zeros(3), XLA)
+    b = rasterize(cam, means, cov, op, cols, jnp.zeros(3), PALLAS)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha), atol=3e-5)

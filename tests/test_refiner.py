@@ -1,0 +1,91 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from opengaussian_tpu.cameras import Camera
+from opengaussian_tpu.models.gaussians import create_from_pcd, inverse_sigmoid
+from opengaussian_tpu.ops.rasterize import RasterizeConfig
+from opengaussian_tpu.refine.sam_refiner import refine_sam_masks, splat_id_votes
+from opengaussian_tpu.ops.projection import build_cov3d
+from opengaussian_tpu.ops.rasterize import rasterize
+
+CFG = RasterizeConfig(max_per_tile=64, chunk=32, min_intersections=4096)
+
+
+def two_blob_scene():
+    """Two spatially separated opaque blobs observed by two cameras."""
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([
+        rng.normal(0, 0.05, (40, 3)) + [-0.6, 0.0, 3.0],
+        rng.normal(0, 0.05, (40, 3)) + [0.6, 0.0, 3.0],
+    ]).astype(np.float32)
+    cols = np.concatenate([
+        np.tile([1.0, 0, 0], (40, 1)), np.tile([0, 0, 1.0], (40, 1))
+    ]).astype(np.float32)
+    st = create_from_pcd(pts, cols, capacity=128, seed=0)
+    st = dataclasses.replace(
+        st, logit_opacity=jnp.where(st.alive, inverse_sigmoid(jnp.float32(0.995)), -10.0)
+    )
+    cams = [
+        Camera.from_fov(np.eye(3), np.zeros(3), 1.0, 0.8, 64, 48),
+        Camera.from_fov(np.eye(3), np.asarray([0.05, 0.0, 0.0]), 1.0, 0.8, 64, 48),
+    ]
+    return st, cams
+
+
+def sam_from_silhouettes(st, cams):
+    """Per-view SAM ids: left blob id, right blob id — with DIFFERENT local
+    ids per view to exercise the cross-view sync."""
+    out = []
+    for i, cam in enumerate(cams):
+        ids = np.zeros((48, 64), np.int64)
+        # left half of the image sees blob A, right half blob B
+        if i == 0:
+            ids[:, :32] = 1
+            ids[:, 32:] = 2
+        else:
+            ids[:, :32] = 2  # swapped local ids in view 2
+            ids[:, 32:] = 1
+        out.append(ids)
+    return np.stack(out)
+
+
+def test_splat_votes_pick_correct_mask():
+    st, cams = two_blob_scene()
+    sam = sam_from_silhouettes(st, cams)
+    out = rasterize(
+        cams[0], st.means, build_cov3d(st.scales, st.quats), st.opacity,
+        jnp.zeros((st.capacity, 1)), jnp.zeros(1), CFG,
+    )
+    depth = out.depth / jnp.maximum(out.alpha, 1e-6)
+    votes, vis = splat_id_votes(st, cams[0], jnp.asarray(sam[0]), depth, 2, CFG)
+    votes = np.asarray(votes)
+    alive = np.asarray(st.alive)
+    # left-blob splats vote id 1, right-blob vote id 2 (view 0)
+    dom = votes.argmax(axis=1) + 1
+    assert (dom[:40] == 1).mean() > 0.9
+    assert (dom[40:80][votes[40:80].max(axis=1) > 0] == 2).mean() > 0.9
+    assert np.asarray(vis)[alive].mean() > 0.5
+
+
+def test_refine_produces_consistent_ids():
+    st, cams = two_blob_scene()
+    sam = sam_from_silhouettes(st, cams)
+    refined = refine_sam_masks(st, cams, sam, CFG, anchor_stride=1)
+    assert refined.shape == sam.shape
+    # the two views must now agree: the region covered by blob A gets the
+    # same global id in both views
+    a0 = refined[0][20:28, 8:24]
+    a1 = refined[1][20:28, 8:24]
+    ids0 = a0[a0 > 0]
+    ids1 = a1[a1 > 0]
+    assert len(ids0) > 10 and len(ids1) > 10
+    assert np.bincount(ids0).argmax() == np.bincount(ids1).argmax()
+    # left and right blobs keep distinct ids within one view
+    b0 = refined[0][20:28, 40:56]
+    idsb = b0[b0 > 0]
+    assert len(idsb) > 10
+    assert np.bincount(idsb).argmax() != np.bincount(ids0).argmax()
+    # uncovered pixels are void
+    assert (refined[0][0:4, 0:4] == -1).all()
