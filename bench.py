@@ -38,6 +38,16 @@ def main():
     ).astype(np.float32)
     cols = rng.uniform(0, 1, (N_GAUSS, 3)).astype(np.float32)
     state = create_from_pcd(pts, cols, capacity=N_GAUSS, seed=0)
+    # trained-scene statistics: compact splats, broad opacity distribution
+    # (raw KNN-init scales on a sparse random cloud are unrealistically fat)
+    import dataclasses
+    import jax
+
+    state = dataclasses.replace(
+        state,
+        log_scales=state.log_scales + np.log(0.35),
+        logit_opacity=jnp.asarray(rng.normal(0.0, 2.0, N_GAUSS).astype(np.float32)),
+    )
 
     cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, WIDTH, HEIGHT)
     rcfg = RasterizeConfig(max_per_tile=1024, chunk=64)

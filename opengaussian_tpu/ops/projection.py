@@ -76,6 +76,7 @@ def project(
     cov3d: jnp.ndarray,
     camera: Camera,
     screen_tap: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> Projected:
     """Project Gaussians to screen space.
 
@@ -130,6 +131,20 @@ def project(
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det_safe))
     lam1 = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    if opacities is not None:
+        # Opacity-aware cutoff radius: beyond r_cut = sqrt(2*lam_max*
+        # ln(255*opacity)) every pixel's alpha is provably < 1/255 (the
+        # quadratic form q >= d^2 / (2*lam_max)), so the blend's skip rule
+        # drops it anyway — shrinking the rect is pixel-exact while touching
+        # far fewer tiles than the classic 3*sigma bound for translucent
+        # splats. Splats with opacity <= 1/255 can never contribute.
+        o = jnp.maximum(opacities, 0.0)
+        can_hit = 255.0 * o >= 1.0
+        r_cut = jnp.sqrt(
+            2.0 * jnp.maximum(lam1, 0.0) * jnp.log(jnp.maximum(255.0 * o, 1.0))
+        )
+        radius_f = jnp.where(can_hit, jnp.minimum(radius_f, jnp.ceil(r_cut)), 0.0)
+        in_front = in_front & can_hit
 
     # pixel center via NDC (+ optional gradient tap in NDC coords)
     ndc_x = t[..., 0] / tz_safe / tanfovx

@@ -48,6 +48,9 @@ class RasterizeConfig:
     # "pallas" forces the kernel (interpret mode off-TPU, for tests);
     # "xla" forces the scan path.
     backend: str = "auto"
+    # opacity-aware cutoff radius (pixel-exact, touches fewer tiles than the
+    # classic 3-sigma rect; radii outputs shrink for translucent splats)
+    tight_radius: bool = True
 
     def max_intersections(self, n: int) -> int:
         return max(self.intersection_multiple * n, self.min_intersections)
@@ -239,10 +242,13 @@ class RasterOut:
     n_truncated: Any  # [] int32
 
 
-def _prepare(camera, means3d, cov3d, config, screen_tap):
+def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None):
     grid_x = (camera.width + TILE - 1) // TILE
     grid_y = (camera.height + TILE - 1) // TILE
-    proj: Projected = project(means3d, cov3d, camera, screen_tap=screen_tap)
+    proj: Projected = project(
+        means3d, cov3d, camera, screen_tap=screen_tap,
+        opacities=opacities if config.tight_radius else None,
+    )
     bins: TileBins = bin_gaussians(
         proj,
         grid_x,
@@ -275,6 +281,9 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
             full_payload,
             bins.gauss_idx,
             bins.counts,
+            bins.slot_dense_pos,
+            bins.slot_gauss,
+            bins.slot_ok,
             config.chunk,
             grid_x,
         )
@@ -312,7 +321,9 @@ def rasterize(
     Matches the reference rasterizer's output contract (image, radii, depth,
     alpha — SURVEY.md §2.1) but with C channels in one pass.
     """
-    proj, bins, pix, grids = _prepare(camera, means3d, cov3d, config, screen_tap)
+    proj, bins, pix, grids = _prepare(
+        camera, means3d, cov3d, config, screen_tap, opacities
+    )
     image, alpha, depth = _composite(
         camera, proj, bins, pix, grids, opacities, payload, bg, config
     )
@@ -346,7 +357,9 @@ def rasterize_groups(
 
     Returns RasterOut with leading group axis on image/alpha/depth.
     """
-    proj, bins, pix, grids = _prepare(camera, means3d, cov3d, config, None)
+    proj, bins, pix, grids = _prepare(
+        camera, means3d, cov3d, config, None, jnp.max(opacities, axis=0)
+    )
     comp = jax.vmap(
         lambda op: _composite(camera, proj, bins, pix, grids, op, payload, bg, config)
     )

@@ -318,22 +318,27 @@ def _make_gdata(mean2d, conic, opac, payload, idx):
     return table[idx]  # [T, K, 6+C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def blend_tiles_pallas(mean2d, conic, opac, payload, idx, counts, chunk, grid_x):
-    out, _ = _pallas_fwd(mean2d, conic, opac, payload, idx, counts, chunk, grid_x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def blend_tiles_pallas(mean2d, conic, opac, payload, idx, counts,
+                       slot_dense_pos, slot_gauss, slot_ok, chunk, grid_x):
+    out, _ = _pallas_fwd(mean2d, conic, opac, payload, idx, counts,
+                         slot_dense_pos, slot_gauss, slot_ok, chunk, grid_x)
     return out
 
 
-def _pallas_fwd(mean2d, conic, opac, payload, idx, counts, chunk, grid_x):
+def _pallas_fwd(mean2d, conic, opac, payload, idx, counts, slot_dense_pos,
+                slot_gauss, slot_ok, chunk, grid_x):
     gdata = _make_gdata(mean2d, conic, opac, payload, idx)
     acc, t_final = blend_tiles_pallas_fwd(gdata, counts, grid_x, chunk)
     accum = jnp.swapaxes(acc, 1, 2)  # [T, NPIX, C]
-    res = (gdata, idx, counts, acc, t_final, payload.shape[0])
+    res = (gdata, idx, counts, slot_dense_pos, slot_gauss, slot_ok, acc,
+           t_final, payload.shape[0])
     return (accum, t_final), res
 
 
 def _pallas_bwd(chunk, grid_x, res, cts):
-    gdata, idx, counts, acc, t_final, n = res
+    (gdata, idx, counts, slot_dense_pos, slot_gauss, slot_ok, acc, t_final,
+     n) = res
     g_accum, g_t = cts  # [T, NPIX, C], [T, NPIX]
     g_acc = jnp.swapaxes(g_accum, 1, 2)  # [T, C, NPIX]
     d_slot = blend_tiles_pallas_bwd(
@@ -341,14 +346,19 @@ def _pallas_bwd(chunk, grid_x, res, cts):
     )  # [T, K, 6+C]
     F = d_slot.shape[-1]
     flat = d_slot.reshape(-1, F)
-    ids = idx.reshape(-1)
-    per_gauss = jnp.zeros((n, F), jnp.float32).at[ids].add(flat)
+    # collision-free reduction: original slots are per-splat contiguous, so
+    # a unique gather + sorted segment-sum replaces a colliding scatter-add
+    per_slot = jnp.where(slot_ok[:, None], flat[slot_dense_pos], 0.0)
+    per_gauss = jax.ops.segment_sum(
+        per_slot, slot_gauss, num_segments=n, indices_are_sorted=True
+    )
     d_mean2d = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]
     d_opac = per_gauss[:, 5]
     d_payload = per_gauss[:, 6:]
     zero_i = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return (d_mean2d, d_conic, d_opac, d_payload, zero_i(idx), zero_i(counts))
+    return (d_mean2d, d_conic, d_opac, d_payload, zero_i(idx), zero_i(counts),
+            zero_i(slot_dense_pos), zero_i(slot_gauss), zero_i(slot_ok))
 
 
 blend_tiles_pallas.defvjp(_pallas_fwd, _pallas_bwd)

@@ -494,6 +494,23 @@ class Trainer:
                     flush=True,
                 )
 
+    def refine_sam_masks(self):
+        """One-shot batched cross-view SAM mask refinement; rewrites the
+        bundle's SAM ids in place (refine/sam_refiner.py)."""
+        from opengaussian_tpu.refine.sam_refiner import refine_sam_masks
+
+        print("Applying multi-view SAM mask refinement...", flush=True)
+        cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
+        refined = refine_sam_masks(
+            self.state, cams, np.asarray(self.bundle.sam_ids), self.rcfg
+        )
+        ids = np.maximum(refined, 0).astype(np.int32)  # -1 void -> 0 invalid
+        new_max = int(np.ceil(max(int(ids.max()), 8) / 8) * 8)
+        self.bundle = dataclasses.replace(
+            self.bundle, sam_ids=jnp.asarray(ids), max_masks=new_max
+        )
+        print("Multi-view SAM mask refinement completed", flush=True)
+
     def run_stage3(self) -> dict:
         """Language association (reference train.py:622-631): requires the
         leaf codebook; saves cluster_lang.npz in the output dir."""

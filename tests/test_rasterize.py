@@ -9,7 +9,10 @@ from opengaussian_tpu.ops.oracle import rasterize_oracle
 from opengaussian_tpu.ops.projection import build_cov3d, project
 from opengaussian_tpu.ops.rasterize import RasterizeConfig, rasterize
 
-CFG = RasterizeConfig(max_per_tile=512, chunk=32, min_intersections=16384)
+# tight_radius off: the oracle uses the classic 3-sigma rect, so radii
+# match exactly; a separate test checks image equality with tight_radius on
+CFG = RasterizeConfig(max_per_tile=512, chunk=32, min_intersections=16384,
+                      tight_radius=False)
 
 
 def random_scene(n, seed=0, spread=0.6, zmin=2.0, zmax=6.0, channels=3):
@@ -123,6 +126,27 @@ def test_gradients_match_oracle():
         np.testing.assert_allclose(
             a / scale, b / scale, atol=5e-4, err_msg=f"grad mismatch: {name}"
         )
+
+
+def test_tight_radius_image_exact():
+    """The opacity-aware cutoff radius must not change a single pixel (it
+    only removes splat-tile pairs whose alpha is provably < 1/255)."""
+    import dataclasses
+
+    cam = make_cam()
+    means, scales, quats, op, cols = random_scene(300, seed=9)
+    op = op * 0.5  # plenty of translucent splats
+    cov = build_cov3d(scales, quats)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    loose = rasterize(cam, means, cov, op, cols, bg, CFG)
+    tight = rasterize(cam, means, cov, op, cols, bg,
+                      dataclasses.replace(CFG, tight_radius=True))
+    np.testing.assert_allclose(np.asarray(tight.image), np.asarray(loose.image),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tight.alpha), np.asarray(loose.alpha),
+                               atol=1e-6)
+    # and it does reduce work
+    assert int(jnp.sum(tight.radii)) < int(jnp.sum(loose.radii))
 
 
 def test_screen_tap_gradient_flows():
