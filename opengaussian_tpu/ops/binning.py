@@ -6,11 +6,14 @@ tile-range identification stages (SURVEY.md §2.1). Everything is static-shape:
   * duplication uses a fixed intersection budget P_max. The classic
     "scatter segment starts, then cumulative-max" trick expands each splat
     into one slot per touched tile without dynamic shapes.
-  * the (tile_id, depth) key sort is a stable two-key jax.lax.sort, which XLA
-    lowers to its native TPU sort.
-  * per-tile ranges come from searchsorted over the sorted tile ids, gathered
-    into a dense [num_tiles, K_max] index matrix (front-to-back order, the
-    farthest splats of an over-full tile are truncated).
+  * the (tile_id, depth) key sort fuses tile id and a global depth rank into
+    ONE int32 key where the bit budget allows, and falls back to a stable
+    two-key jax.lax.sort otherwise. XLA lowers both to its native TPU sort.
+  * per-tile ranges come from searchsorted over the sorted tile ids with only
+    `num_tiles` queries (a few thousand) — measured on v5e, a 1.6M-query
+    searchsorted costs >200 ms while the whole sort costs ~2 ms, so all
+    per-slot bookkeeping here is vector math over the *sorted* stream and the
+    backward's gradient reduction consumes sorted-order slots directly.
 
 All integer plumbing; not differentiated.
 """
@@ -32,13 +35,8 @@ class TileBins(NamedTuple):
     total: jnp.ndarray  # [] int32 total intersections before budgeting
     n_dropped: jnp.ndarray  # [] int32 intersections lost to P_max
     n_truncated: jnp.ndarray  # [] int32 intersections lost to K_max
-    # plumbing for the backward's collision-free gradient reduction:
-    # original slots are per-splat contiguous, so per-splat gradient sums
-    # become a sorted segment-sum after one unique gather from the dense
-    # [T, K] layout.
-    slot_dense_pos: jnp.ndarray  # [P] int32 original slot -> t*K + k
-    slot_gauss: jnp.ndarray  # [P] int32 splat per original slot
-    slot_ok: jnp.ndarray  # [P] bool (valid and not truncated)
+    max_intersections: int  # static P budget (drives the backward's
+    # chunk-compaction size; see rasterize_pallas._pallas_bwd)
 
 
 def bin_gaussians(
@@ -57,16 +55,6 @@ def bin_gaussians(
     total = jnp.sum(nt)
     n = nt.shape[0]
 
-    # Fused single-int32 sort key: tiles get the high bits, the splat's rank
-    # in a global depth order the low bits. The depth-rank trick keeps the
-    # (tile, depth) order EXACT (ranks are unique; stable rank order equals
-    # stable depth order) while sorting one int key instead of a two-key
-    # (int, float) pair. Falls back to the two-key sort when the bit budget
-    # doesn't fit (very large N x many tiles).
-    bits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
-    bits_rank = max(int(np.ceil(np.log2(n + 1))), 1)
-    fused = bits_tile + bits_rank <= 31
-
     # Expand: mark each splat's first slot with (index+1), cummax fills the
     # rest of its segment. Splats with nt == 0 never scatter.
     gidx1 = jnp.where((nt > 0) & (starts < P), jnp.arange(n, dtype=jnp.int32) + 1, 0)
@@ -77,63 +65,90 @@ def bin_gaussians(
     slot_valid = (slot < total) & (g >= 0)
     g_safe = jnp.maximum(g, 0)
 
-    r = slot - starts[g_safe]  # local tile rank within the splat's rect
-    w = rect_w[g_safe]
-    tx = rect_min[g_safe, 0] + r % w
-    ty = rect_min[g_safe, 1] + r // w
+    # Global depth rank: ranks are unique, so ordering by rank within a tile
+    # equals stable ordering by depth. Sorting (tile << bits) | rank as one
+    # int32 key is exact and fast when the bits fit.
+    order = jnp.argsort(depth, stable=True)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+    # ONE packed row-gather for all per-slot splat attributes (a v5e scalar
+    # gather costs about as much as a row gather, so 5 separate [P] gathers
+    # would be ~5x slower).
+    pack = jnp.stack(
+        [starts, rect_min[:, 0], rect_min[:, 1], rect_w, rank], axis=-1
+    )  # [N, 5]
+    pk = pack[g_safe]  # [P, 5]
+    r = slot - pk[:, 0]  # local tile rank within the splat's rect
+    w = pk[:, 3]
+    # exact integer div/mod via f32 reciprocal + one correction step —
+    # s32 div/mod lower to a slow scalar sequence on the VPU (measured
+    # ~15 ms per 1.6M-element fusion, vs ~2 ms for this).
+    q = jnp.floor(r.astype(jnp.float32) * (1.0 / w.astype(jnp.float32)))
+    q = q.astype(jnp.int32)
+    rem = r - q * w
+    q = q + (rem >= w).astype(jnp.int32) - (rem < 0).astype(jnp.int32)
+    rem = r - q * w
+    tx = pk[:, 1] + rem
+    ty = pk[:, 2] + q
     tile_id = jnp.where(slot_valid, ty * grid_x + tx, num_tiles)
 
-    if fused:
-        order = jnp.argsort(depth, stable=True)
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        key = (tile_id << bits_rank) | rank[g_safe]
+    bits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
+    bits_rank = max(int(np.ceil(np.log2(n + 1))), 1)
+    if bits_tile + bits_rank <= 31:
+        key = (tile_id << bits_rank) | pk[:, 4]
         key_s, g_sorted = jax.lax.sort(
             (key, g_safe.astype(jnp.int32)), num_keys=1, is_stable=False
         )
         tile_s = key_s >> bits_rank
-        # keys are unique -> exact sorted position by binary search
-        slot_pos = jnp.searchsorted(key_s, key).astype(jnp.int32)
     else:
-        # stable two-key sort: tile major, depth minor; carry the original
-        # slot id to recover each slot's sorted position
-        slot_ids = jnp.arange(P, dtype=jnp.int32)
-        tile_s, _, g_sorted, slot_sorted = jax.lax.sort(
-            (tile_id, depth[g_safe], g_safe.astype(jnp.int32), slot_ids),
+        # stable two-key int sort: tile major, depth rank minor
+        tile_s, _, g_sorted = jax.lax.sort(
+            (tile_id, pk[:, 4], g_safe.astype(jnp.int32)),
             num_keys=2,
-            is_stable=True,
+            is_stable=False,  # keys are unique as a pair
         )
-        slot_pos = jnp.zeros((P,), jnp.int32).at[slot_sorted].set(slot_ids)
 
-    # per-tile ranges + dense gather matrix
+    # per-tile ranges (num_tiles queries only)
     tstart = jnp.searchsorted(tile_s, jnp.arange(num_tiles, dtype=jnp.int32), side="left")
     tend = jnp.searchsorted(
         tile_s, jnp.arange(num_tiles, dtype=jnp.int32), side="right"
     )
     full_counts = tend - tstart
     counts = jnp.minimum(full_counts, K)
-    gather = tstart[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
-    in_range = gather < tend[:, None]
-    gather = jnp.minimum(gather, P - 1)
-    gauss_idx = jnp.where(in_range, g_sorted[gather], 0)
 
     n_dropped = total - jnp.sum(slot_valid.astype(jnp.int32))
     n_truncated = jnp.sum(full_counts - counts)
 
-    tile_clip = jnp.minimum(tile_id, num_tiles - 1)
-    k_of_slot = slot_pos - tstart[tile_clip]
-    slot_ok = slot_valid & (k_of_slot < K) & (tile_id < num_tiles)
-    slot_dense_pos = jnp.where(
-        slot_ok, tile_clip * K + jnp.clip(k_of_slot, 0, K - 1), 0
+    # dense [T, K] splat-index matrix by SCATTER from the sorted stream
+    # (a gather at tstart[:, None] + arange(K) costs 3.5x more on v5e: the
+    # scatter writes only the live slots). Position of sorted slot p within
+    # its tile is p - (start of its run of equal tile ids), a pure
+    # vector computation — per-slot gathers of tstart cost ~10 ms on v5e.
+    run_change = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), tile_s[1:] != tile_s[:-1]]
     )
+    run_start = jax.lax.cummax(jnp.where(run_change, slot, 0))
+    k_of_slot = slot - run_start
+    sorted_ok = (tile_s < num_tiles) & (k_of_slot < K)
+    tile_clip = jnp.minimum(tile_s, num_tiles - 1)
+    dest = jnp.where(sorted_ok, tile_clip * K + k_of_slot, num_tiles * K)
+    gauss_idx = (
+        jnp.zeros((num_tiles * K,), jnp.int32)
+        .at[dest]
+        .set(g_sorted, mode="drop")
+        .reshape(num_tiles, K)
+    )
+
+    # The sort and all integer plumbing feed both the forward blend and the
+    # backward reduction; without a barrier XLA rematerializes the whole
+    # chain in the backward pass (measured ~40 ms/step of pure waste).
+    gauss_idx, counts = jax.lax.optimization_barrier((gauss_idx, counts))
+
     return TileBins(
-        gauss_idx=gauss_idx.astype(jnp.int32),
+        gauss_idx=gauss_idx,
         counts=counts.astype(jnp.int32),
         total=total,
         n_dropped=n_dropped,
         n_truncated=n_truncated,
-        slot_dense_pos=slot_dense_pos.astype(jnp.int32),
-        slot_gauss=g_safe.astype(jnp.int32),
-        slot_ok=slot_ok,
+        max_intersections=P,
     )

@@ -274,6 +274,8 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
     if config.use_pallas():
         from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
+        n = proj.mean2d.shape[0]
+        max_chunks = config.max_intersections(n) // config.chunk + grid_x * grid_y
         accum, t_final = blend_tiles_pallas(
             proj.mean2d,
             proj.conic,
@@ -281,11 +283,9 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
             full_payload,
             bins.gauss_idx,
             bins.counts,
-            bins.slot_dense_pos,
-            bins.slot_gauss,
-            bins.slot_ok,
             config.chunk,
             grid_x,
+            max_chunks,
         )
     else:
         accum, t_final = _blend_tiles(
