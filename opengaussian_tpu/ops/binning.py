@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from opengaussian_tpu.ops.projection import Projected
+from opengaussian_tpu.ops.projection import TILE, Projected
 
 
 class TileBins(NamedTuple):
@@ -72,38 +72,66 @@ def bin_gaussians(
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
 
     # ONE packed row-gather for all per-slot splat attributes (a v5e scalar
-    # gather costs about as much as a row gather, so 5 separate [P] gathers
-    # would be ~5x slower).
+    # gather costs about as much as a row gather, so 8 separate [P] gathers
+    # would be ~8x slower). All values are exact in f32 (< 2^24).
     pack = jnp.stack(
-        [starts, rect_min[:, 0], rect_min[:, 1], rect_w, rank], axis=-1
-    )  # [N, 5]
-    pk = pack[g_safe]  # [P, 5]
-    r = slot - pk[:, 0]  # local tile rank within the splat's rect
+        [
+            starts.astype(jnp.float32),
+            rect_min[:, 0].astype(jnp.float32),
+            rect_min[:, 1].astype(jnp.float32),
+            rect_w.astype(jnp.float32),
+            rank.astype(jnp.float32),
+            jax.lax.stop_gradient(proj.mean2d[:, 0]),
+            jax.lax.stop_gradient(proj.mean2d[:, 1]),
+            proj.cull_radius,
+        ],
+        axis=-1,
+    )  # [N, 8]
+    pk = pack[g_safe]  # [P, 8]
+    r = (slot - pk[:, 0].astype(jnp.int32)).astype(jnp.float32)
     w = pk[:, 3]
     # exact integer div/mod via f32 reciprocal + one correction step —
     # s32 div/mod lower to a slow scalar sequence on the VPU (measured
     # ~15 ms per 1.6M-element fusion, vs ~2 ms for this).
-    q = jnp.floor(r.astype(jnp.float32) * (1.0 / w.astype(jnp.float32)))
-    q = q.astype(jnp.int32)
+    q = jnp.floor(r * (1.0 / w))
     rem = r - q * w
-    q = q + (rem >= w).astype(jnp.int32) - (rem < 0).astype(jnp.int32)
+    q = q + (rem >= w).astype(jnp.float32) - (rem < 0).astype(jnp.float32)
     rem = r - q * w
-    tx = pk[:, 1] + rem
-    ty = pk[:, 2] + q
-    tile_id = jnp.where(slot_valid, ty * grid_x + tx, num_tiles)
+    tx = (pk[:, 1] + rem).astype(jnp.int32)
+    ty = (pk[:, 2] + q).astype(jnp.int32)
+
+    # Exact circle-tile cull: the splat's cutoff radius (opacity-aware when
+    # tight_radius is on) already guarantees alpha < 1/255 beyond it, so a
+    # tile whose nearest point to the center is farther than the radius
+    # receives exactly zero contribution — the classic bbox expansion wastes
+    # ~20% of its slots on such corner tiles. Distances to pixel centers are
+    # >= distances to the tile rect, so the test is conservative-exact.
+    TILE_F = float(TILE)
+    cx = pk[:, 5]
+    cy = pk[:, 6]
+    nx = jnp.clip(cx, tx.astype(jnp.float32) * TILE_F,
+                  tx.astype(jnp.float32) * TILE_F + (TILE_F - 1.0))
+    ny = jnp.clip(cy, ty.astype(jnp.float32) * TILE_F,
+                  ty.astype(jnp.float32) * TILE_F + (TILE_F - 1.0))
+    rad = pk[:, 7]
+    hits = (cx - nx) ** 2 + (cy - ny) ** 2 <= rad * rad
+    tile_id = jnp.where(slot_valid & hits, ty * grid_x + tx, num_tiles)
 
     bits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
     bits_rank = max(int(np.ceil(np.log2(n + 1))), 1)
     if bits_tile + bits_rank <= 31:
-        key = (tile_id << bits_rank) | pk[:, 4]
+        key = (tile_id << bits_rank) | pk[:, 4].astype(jnp.int32)
         key_s, g_sorted = jax.lax.sort(
             (key, g_safe.astype(jnp.int32)), num_keys=1, is_stable=False
         )
+        # barrier: without it XLA runs the sort twice (once for the counts
+        # chain, once for the scatter chain)
+        key_s, g_sorted = jax.lax.optimization_barrier((key_s, g_sorted))
         tile_s = key_s >> bits_rank
     else:
         # stable two-key int sort: tile major, depth rank minor
         tile_s, _, g_sorted = jax.lax.sort(
-            (tile_id, pk[:, 4], g_safe.astype(jnp.int32)),
+            (tile_id, pk[:, 4].astype(jnp.int32), g_safe.astype(jnp.int32)),
             num_keys=2,
             is_stable=False,  # keys are unique as a pair
         )

@@ -65,6 +65,10 @@ class Projected:
     depth: Any  # [N] camera-space z
     conic: Any  # [N,3] inverse 2D covariance (a, b, c): ax^2 + 2bxy + cy^2
     radius: Any  # [N] int32 pixel radius (0 => culled)
+    cull_radius: Any  # [N] f32: beyond this distance alpha < 1/255 is
+    # GUARANTEED (opacity-aware r_cut; +inf when opacity is unknown). Tiles
+    # entirely beyond it receive provably zero contribution, so binning may
+    # cull them exactly (ops/binning.py circle-tile test).
     rect_min: Any  # [N,2] int32 inclusive tile coords (x, y)
     rect_max: Any  # [N,2] int32 exclusive tile coords
     num_tiles: Any  # [N] int32 tiles touched (0 => culled)
@@ -131,6 +135,7 @@ def project(
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det_safe))
     lam1 = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam1, 0.0)))
+    cull_radius = jnp.full_like(radius_f, 3.4e38)
     if opacities is not None:
         # Opacity-aware cutoff radius: beyond r_cut = sqrt(2*lam_max*
         # ln(255*opacity)) every pixel's alpha is provably < 1/255 (the
@@ -144,6 +149,7 @@ def project(
             2.0 * jnp.maximum(lam1, 0.0) * jnp.log(jnp.maximum(255.0 * o, 1.0))
         )
         radius_f = jnp.where(can_hit, jnp.minimum(radius_f, jnp.ceil(r_cut)), 0.0)
+        cull_radius = jnp.where(can_hit, jnp.ceil(r_cut), 0.0)
         in_front = in_front & can_hit
 
     # pixel center via NDC (+ optional gradient tap in NDC coords)
@@ -179,6 +185,7 @@ def project(
         depth=tz,
         conic=conic,
         radius=radius_i,
+        cull_radius=jax.lax.stop_gradient(cull_radius),
         rect_min=jnp.stack([rx_min, ry_min], axis=-1),
         rect_max=jnp.stack([rx_max, ry_max], axis=-1),
         num_tiles=num_tiles,

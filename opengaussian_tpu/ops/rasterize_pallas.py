@@ -374,18 +374,19 @@ def _pallas_bwd(chunk, grid_x, max_chunks, res, cts):
     live = (pchunk < total_chunks) & (tile_of >= 0)
     tile_safe = jnp.maximum(tile_of, 0)
     i_of = pchunk - chunk_base[tile_safe]  # chunk index within tile
-    dense_chunk = jnp.where(live, tile_safe * ncpt + i_of, 0)
-
-    d_chunks = d_slot.reshape(T * ncpt, chunk * F)[dense_chunk]
-    id_chunks = idx.reshape(T * ncpt, chunk)[dense_chunk]
-    vcc = jnp.clip(counts[tile_safe] - i_of * chunk, 0, chunk)  # live rows
-    row_ok = (
-        live[:, None] & (jnp.arange(chunk, dtype=jnp.int32)[None, :] < vcc[:, None])
-    )  # [NC, chunk]
-    rows = jnp.where(
-        row_ok.reshape(-1)[:, None], d_chunks.reshape(NC * chunk, F), 0.0
-    )
-    ids = jnp.where(row_ok, id_chunks, 0).reshape(-1)
+    # Dead SLOTS inside live chunks need no mask at all — the kernel
+    # zero-fills its output block, so their gradients are exactly zero and
+    # their gauss_idx of 0 contributes 0 to splat 0. Dead CHUNKS gather
+    # arbitrary rows (clamp mode) but their ids are pointed out of range,
+    # which JAX scatter semantics drop. The gathers use slice shape
+    # (1, chunk, F) so every reshape is a free leading-dim split/merge —
+    # merging (chunk, F) into one axis costs two ~3 ms lane relayouts.
+    dense_chunk = jnp.minimum(tile_safe * ncpt + i_of, T * ncpt - 1)
+    rows = jnp.take(
+        d_slot.reshape(T * ncpt, chunk, F), dense_chunk, axis=0
+    ).reshape(NC * chunk, F)
+    ids = jnp.take(idx.reshape(T * ncpt, chunk), dense_chunk, axis=0)
+    ids = jnp.where(live[:, None], ids, n).reshape(-1)
     per_gauss = jax.ops.segment_sum(rows, ids, num_segments=n)
 
     d_mean2d = per_gauss[:, 0:2]

@@ -42,6 +42,7 @@ def _gather_proj(proj: Projected, payload, opac, axis: str):
         depth=ag(proj.depth),
         conic=ag(proj.conic),
         radius=ag(proj.radius),
+        cull_radius=ag(proj.cull_radius),
         rect_min=ag(proj.rect_min),
         rect_max=ag(proj.rect_max),
         num_tiles=ag(proj.num_tiles),
