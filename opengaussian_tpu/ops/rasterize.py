@@ -283,6 +283,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
             full_payload,
             bins.gauss_idx,
             bins.counts,
+            jnp.zeros((1,), jnp.int32),
             config.chunk,
             grid_x,
             max_chunks,

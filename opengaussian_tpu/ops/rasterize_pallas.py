@@ -142,11 +142,11 @@ def _nchunks(cnt, chunk):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(counts_ref, gdata_ref, acc_out, t_out, *, chunk, grid_x, C):
+def _fwd_kernel(counts_ref, toff_ref, gdata_ref, acc_out, t_out, *, chunk, grid_x, C):
     t = pl.program_id(0)
     cnt = counts_ref[t]
     nc = _nchunks(cnt, chunk)
-    px, py = _pixels(t, grid_x)
+    px, py = _pixels(t + toff_ref[0], grid_x)
 
     def cond(carry):
         c, _, _, done = carry
@@ -174,23 +174,28 @@ def _fwd_kernel(counts_ref, gdata_ref, acc_out, t_out, *, chunk, grid_x, C):
     t_out[0] = tvec
 
 
-def blend_tiles_pallas_fwd(gdata, counts, grid_x: int, chunk: int):
+def blend_tiles_pallas_fwd(gdata, counts, grid_x: int, chunk: int,
+                           tile_offset=None):
     """gdata [T, K, F] (F = 6 + C), counts [T] -> (accum [T, C, NPIX],
-    t_final [T, NPIX])."""
+    t_final [T, NPIX]). tile_offset shifts the global tile id of row 0 —
+    used by the tile-sharded multi-chip path, where each device owns a
+    contiguous tile range."""
     T, K, F = gdata.shape
     C = F - 6
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     kern = functools.partial(_fwd_kernel, chunk=chunk, grid_x=grid_x, C=C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, K, F), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, K, F), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, NPIX), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, C, NPIX), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, 1, NPIX), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -202,7 +207,7 @@ def blend_tiles_pallas_fwd(gdata, counts, grid_x: int, chunk: int):
         ),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(counts, gdata)
+    )(counts, tile_offset, gdata)
     return acc, t_final[:, 0, :]
 
 
@@ -211,12 +216,12 @@ def blend_tiles_pallas_fwd(gdata, counts, grid_x: int, chunk: int):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(counts_ref, gdata_ref, gacc_ref, gt_ref, tfin_ref, gatot_ref,
-                dslot_out, *, chunk, grid_x, C):
+def _bwd_kernel(counts_ref, toff_ref, gdata_ref, gacc_ref, gt_ref, tfin_ref,
+                gatot_ref, dslot_out, *, chunk, grid_x, C):
     t = pl.program_id(0)
     cnt = counts_ref[t]
     nc = _nchunks(cnt, chunk)
-    px, py = _pixels(t, grid_x)
+    px, py = _pixels(t + toff_ref[0], grid_x)
     dslot_out[0] = jnp.zeros_like(dslot_out[0])
 
     gacc = gacc_ref[0]  # [C, NPIX]
@@ -283,29 +288,31 @@ def _bwd_kernel(counts_ref, gdata_ref, gacc_ref, gt_ref, tfin_ref, gatot_ref,
 
 
 def blend_tiles_pallas_bwd(gdata, counts, accum, t_final, g_accum, g_t,
-                           grid_x: int, chunk: int):
+                           grid_x: int, chunk: int, tile_offset=None):
     """-> d_slot [T, K, F] (layout: dmean2d(2), dconic(3), dopac(1),
     dpayload(C)) — per-slot gradients, to be segment-summed by splat id."""
     T, K, F = gdata.shape
     C = F - 6
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
     ga_total = jnp.sum(g_accum * accum, axis=1)  # [T, NPIX]
     kern = functools.partial(_bwd_kernel, chunk=chunk, grid_x=grid_x, C=C)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, K, F), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, K, F), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, NPIX), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, C, NPIX), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, 1, NPIX), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, 1, NPIX), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NPIX), lambda t, counts: (t, 0, 0),
+            pl.BlockSpec((1, 1, NPIX), lambda t, counts, toff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K, F), lambda t, counts: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, K, F), lambda t, counts, toff: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -313,7 +320,7 @@ def blend_tiles_pallas_bwd(gdata, counts, accum, t_final, g_accum, g_t,
         out_shape=jax.ShapeDtypeStruct((T, K, F), jnp.float32),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(counts, gdata, g_accum, g_t[:, None, :], t_final[:, None, :],
+    )(counts, tile_offset, gdata, g_accum, g_t[:, None, :], t_final[:, None, :],
       ga_total[:, None, :])
 
 
@@ -329,31 +336,32 @@ def _make_gdata(mean2d, conic, opac, payload, idx):
     return table[idx]  # [T, K, 6+C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def blend_tiles_pallas(mean2d, conic, opac, payload, idx, counts,
-                       chunk, grid_x, max_chunks):
+                       tile_offset, chunk, grid_x, max_chunks):
     out, _ = _pallas_fwd(mean2d, conic, opac, payload, idx, counts,
-                         chunk, grid_x, max_chunks)
+                         tile_offset, chunk, grid_x, max_chunks)
     return out
 
 
-def _pallas_fwd(mean2d, conic, opac, payload, idx, counts,
+def _pallas_fwd(mean2d, conic, opac, payload, idx, counts, tile_offset,
                 chunk, grid_x, max_chunks):
     gdata = _make_gdata(mean2d, conic, opac, payload, idx)
-    acc, t_final = blend_tiles_pallas_fwd(gdata, counts, grid_x, chunk)
+    acc, t_final = blend_tiles_pallas_fwd(gdata, counts, grid_x, chunk,
+                                          tile_offset)
     accum = jnp.swapaxes(acc, 1, 2)  # [T, NPIX, C]
-    res = (gdata, idx, counts, acc, t_final, payload.shape[0])
+    res = (gdata, idx, counts, tile_offset, acc, t_final, payload.shape[0])
     return (accum, t_final), res
 
 
 def _pallas_bwd(chunk, grid_x, max_chunks, res, cts):
-    gdata, idx, counts, acc, t_final, n = res
+    gdata, idx, counts, tile_offset, acc, t_final, n = res
     T, K, F = gdata.shape
     ncpt = K // chunk  # dense chunks per tile
     g_accum, g_t = cts  # [T, NPIX, C], [T, NPIX]
     g_acc = jnp.swapaxes(g_accum, 1, 2)  # [T, C, NPIX]
     d_slot = blend_tiles_pallas_bwd(
-        gdata, counts, acc, t_final, g_acc, g_t, grid_x, chunk
+        gdata, counts, acc, t_final, g_acc, g_t, grid_x, chunk, tile_offset
     )  # [T, K, F]
 
     # Per-splat reduction. A per-slot row gather of the live slots costs
@@ -395,7 +403,7 @@ def _pallas_bwd(chunk, grid_x, max_chunks, res, cts):
     d_payload = per_gauss[:, 6:]
     zero_i = lambda s: np.zeros(s, jax.dtypes.float0)
     return (d_mean2d, d_conic, d_opac, d_payload, zero_i(idx.shape),
-            zero_i(counts.shape))
+            zero_i(counts.shape), zero_i(tile_offset.shape))
 
 
 blend_tiles_pallas.defvjp(_pallas_fwd, _pallas_bwd)

@@ -94,9 +94,21 @@ def render_sharded(
         )
         opac_m = jnp.where(proj.valid, opac_f, 0.0)
         full_pay = jnp.concatenate([pay_f, proj.depth[:, None]], axis=-1)
-        accum, t_final = _blend_tiles(
-            proj.mean2d, proj.conic, opac_m, full_pay, idx, counts, pix, config.chunk
-        )
+        if config.use_pallas():
+            from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
+
+            max_chunks = (
+                config.max_intersections(n_total) // config.chunk + tl
+            )
+            accum, t_final = blend_tiles_pallas(
+                proj.mean2d, proj.conic, opac_m, full_pay, idx, counts,
+                t0[None].astype(jnp.int32), config.chunk, grid_x, max_chunks,
+            )
+        else:
+            accum, t_final = _blend_tiles(
+                proj.mean2d, proj.conic, opac_m, full_pay, idx, counts, pix,
+                config.chunk,
+            )
         img = accum[:, :, :C] + t_final[..., None] * bg_[None, None, :]
         return img, 1.0 - t_final
 

@@ -137,10 +137,8 @@ def _freeze_geometry(params: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("rcfg", "ocfg", "spatial_lr_scale"),
-         donate_argnums=(0, 1, 2))
-def stage0_step(state, adam, stats, bundle: ViewBundle, view_idx, iteration, bg,
-                spatial_lr_scale: float, rcfg: RasterizeConfig, ocfg):
+def _stage0_body(state, adam, stats, bundle: ViewBundle, view_idx, iteration,
+                 bg, spatial_lr_scale: float, rcfg: RasterizeConfig, ocfg):
     cam = bundle.camera(view_idx)
     gt = bundle.gt_images[view_idx]
 
@@ -165,15 +163,43 @@ def stage0_step(state, adam, stats, bundle: ViewBundle, view_idx, iteration, bg,
     return state.with_params(new_p), adam, stats, loss, losses.psnr(out.render, gt)
 
 
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "spatial_lr_scale"),
+         donate_argnums=(0, 1, 2))
+def stage0_step(state, adam, stats, bundle: ViewBundle, view_idx, iteration, bg,
+                spatial_lr_scale: float, rcfg: RasterizeConfig, ocfg):
+    return _stage0_body(state, adam, stats, bundle, view_idx, iteration, bg,
+                        spatial_lr_scale, rcfg, ocfg)
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "spatial_lr_scale"),
+         donate_argnums=(0, 1, 2))
+def stage0_block(state, adam, stats, bundle: ViewBundle, vis, its, bgs,
+                 spatial_lr_scale: float, rcfg: RasterizeConfig, ocfg):
+    """lax.scan over a block of stage-0 steps: ONE dispatch per block keeps
+    the hot loop device-bound (per-dispatch latency through the remote
+    tunnel otherwise dominates at small scenes)."""
+
+    def body(carry, xs):
+        st, ad, sa = carry
+        vi, it, bg = xs
+        st, ad, sa, loss, psnr = _stage0_body(
+            st, ad, sa, bundle, vi, it, bg, spatial_lr_scale, rcfg, ocfg
+        )
+        return (st, ad, sa), (loss, psnr)
+
+    (state, adam, stats), (ls, ps) = jax.lax.scan(
+        body, (state, adam, stats), (vis, its, bgs)
+    )
+    return state, adam, stats, ls[-1], ps[-1]
+
+
 def _alpha_mask_loss(out_alpha, bundle, view_idx):
     return jnp.mean((out_alpha - bundle.alpha_masks[view_idx]) ** 2)
 
 
-@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
-         donate_argnums=(0, 1))
-def stage1_step(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
-                rescale_factor, rcfg: RasterizeConfig, ocfg,
-                with_alpha_loss: bool = False):
+def _stage1_body(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
+                 rescale_factor, rcfg: RasterizeConfig, ocfg,
+                 with_alpha_loss: bool = False):
     cam = bundle.camera(view_idx)
     sam = bundle.sam_ids[view_idx]
 
@@ -202,9 +228,32 @@ def stage1_step(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
          donate_argnums=(0, 1))
-def stage21_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
-                 rescale_factor, pseudo_feat, rcfg: RasterizeConfig, ocfg,
-                 with_alpha_loss: bool = False):
+def stage1_step(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
+                rescale_factor, rcfg: RasterizeConfig, ocfg,
+                with_alpha_loss: bool = False):
+    return _stage1_body(state, adam, bundle, view_idx, iteration, bg,
+                        rescale_factor, rcfg, ocfg, with_alpha_loss)
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
+         donate_argnums=(0, 1))
+def stage1_block(state, adam, bundle: ViewBundle, vis, its, bgs, rescales,
+                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+    def body(carry, xs):
+        st, ad = carry
+        vi, it, bg, rs = xs
+        st, ad, loss = _stage1_body(
+            st, ad, bundle, vi, it, bg, rs, rcfg, ocfg, with_alpha_loss
+        )
+        return (st, ad), loss
+
+    (state, adam), ls = jax.lax.scan(body, (state, adam), (vis, its, bgs, rescales))
+    return state, adam, ls[-1]
+
+
+def _stage21_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
+                  rescale_factor, pseudo_feat, rcfg: RasterizeConfig, ocfg,
+                  with_alpha_loss: bool = False):
     """Coarse-codebook stage: L1(rendered quantized feat, pseudo feat) inside
     the rendered silhouette (reference train.py:464-473)."""
     cam = bundle.camera(view_idx)
@@ -232,9 +281,35 @@ def stage21_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
          donate_argnums=(0, 1))
-def stage22_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
-                 rescale_factor, pseudo_feat, root_id, root_visible,
-                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+def stage21_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
+                 rescale_factor, pseudo_feat, rcfg: RasterizeConfig, ocfg,
+                 with_alpha_loss: bool = False):
+    return _stage21_body(state, adam, kms, bundle, view_idx, iteration, bg,
+                         rescale_factor, pseudo_feat, rcfg, ocfg,
+                         with_alpha_loss)
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
+         donate_argnums=(0, 1))
+def stage21_block(state, adam, kms, bundle: ViewBundle, vis, its, bgs,
+                  rescales, pseudo_feat_all, rcfg: RasterizeConfig, ocfg,
+                  with_alpha_loss: bool = False):
+    def body(carry, xs):
+        st, ad = carry
+        vi, it, bg, rs = xs
+        st, ad, loss = _stage21_body(
+            st, ad, kms, bundle, vi, it, bg, rs, pseudo_feat_all[vi],
+            rcfg, ocfg, with_alpha_loss,
+        )
+        return (st, ad), loss
+
+    (state, adam), ls = jax.lax.scan(body, (state, adam), (vis, its, bgs, rescales))
+    return state, adam, ls[-1]
+
+
+def _stage22_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
+                  rescale_factor, pseudo_feat, root_id, root_visible,
+                  rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
     """Fine-codebook stage: render the selected coarse cluster with
     leaf-quantized features, L2 against the pseudo features inside the
     cluster silhouette (reference train.py:475-489). Skips the update when
@@ -262,6 +337,36 @@ def stage22_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
     grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
     new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
     return state.with_params(new_p), adam, loss, ok
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
+         donate_argnums=(0, 1))
+def stage22_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
+                 rescale_factor, pseudo_feat, root_id, root_visible,
+                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+    return _stage22_body(state, adam, kms, bundle, view_idx, iteration, bg,
+                         rescale_factor, pseudo_feat, root_id, root_visible,
+                         rcfg, ocfg, with_alpha_loss)
+
+
+@partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
+         donate_argnums=(0, 1))
+def stage22_block(state, adam, kms, bundle: ViewBundle, vis, its, bgs,
+                  rescales, root_ids, pseudo_feat_all, cluster_occur,
+                  rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+    def body(carry, xs):
+        st, ad = carry
+        vi, it, bg, rs, rid = xs
+        st, ad, loss, _ = _stage22_body(
+            st, ad, kms, bundle, vi, it, bg, rs, pseudo_feat_all[vi], rid,
+            cluster_occur[vi, rid], rcfg, ocfg, with_alpha_loss,
+        )
+        return (st, ad), loss
+
+    (state, adam), ls = jax.lax.scan(
+        body, (state, adam), (vis, its, bgs, rescales, root_ids)
+    )
+    return state, adam, ls[-1]
 
 
 @partial(jax.jit, static_argnames=("rcfg",))
@@ -384,115 +489,235 @@ class Trainer:
 
     # -- main loop --
 
+    # Block scheduling: scan several steps per dispatch. Measured on the
+    # axon v5e, async dispatch already pipelines the per-step RPC latency
+    # away (block vs single steady-state within 2%), while every distinct
+    # scan length costs one extra remote compile (~1 min) — so the default
+    # is single-step dispatch. Set e.g. (50, 10, 5) for environments where
+    # host dispatch is the bottleneck (very fast steps or a loaded host);
+    # distinct lengths compile separately, so the menu is kept tiny.
+    BLOCK_SIZES: tuple = ()
+
+    def _pre_events(self, it: int, stage: str):
+        """Host-side events that must run BEFORE step `it` (one-shot
+        refinement, pseudo-label sweeps, codebook reassignment, root-id
+        round-robin) — reference train.py:265-355,393-426."""
+        o = self.cfg.opt
+        if (
+            o.enable_multiview_sam_refinement
+            and it == o.start_ins_feat_iter + 1
+        ):
+            self.refine_sam_masks()
+        if it == o.start_root_cb_iter + 1:
+            self._ensure_pseudo("root")
+        if it == o.start_leaf_cb_iter + 1:
+            self._ensure_pseudo("leaf")
+        if stage == "2.1":
+            if it % 200 == 1 or it == o.start_root_cb_iter + 1:
+                self.kms = km.assign_root(
+                    self.kms, self.state.ins_feat, self.state.means,
+                    self.state.alive, o.pos_weight, self._next_key(),
+                    init=(it == o.start_root_cb_iter + 1),
+                )
+        elif stage == "2.2":
+            if it % 50 == 1 or it == o.start_leaf_cb_iter + 1:
+                self.kms = km.assign_leaf(
+                    self.kms, self.state.ins_feat, self.state.alive,
+                    jnp.int32(self.root_id), self._next_key(),
+                    k2=o.leaf_node_num,
+                    init=(it == o.start_leaf_cb_iter + 1),
+                )
+
+    def _has_pre_event(self, it: int, stage: str) -> bool:
+        o = self.cfg.opt
+        if it in (o.start_ins_feat_iter + 1, o.start_root_cb_iter + 1,
+                  o.start_leaf_cb_iter + 1):
+            return True
+        if stage == "2.1" and it % 200 == 1:
+            return True
+        if stage == "2.2" and it % 50 == 1:
+            return True
+        return False
+
+    def _has_post_event(self, it: int, stage: str, until: int,
+                        log_every: int) -> bool:
+        o = self.cfg.opt
+        if it % log_every == 0 or it >= until:
+            return True
+        if stage == "0":
+            if it < o.densify_until_iter and not o.frozen_init_pts:
+                if it > o.densify_from_iter and it % o.densification_interval == 0:
+                    return True
+                if it % o.opacity_reset_interval == 0 or (
+                    self.cfg.model.white_background and it == o.densify_from_iter
+                ):
+                    return True
+        return False
+
+    def _post_events(self, it: int, stage: str):
+        """Densification / opacity-reset events AFTER step `it` (reference
+        train.py:593-605)."""
+        o = self.cfg.opt
+        if stage != "0":
+            return
+        if it < o.densify_until_iter and not o.frozen_init_pts:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                self._maybe_grow()
+                self.state, (mu, nu), self.stats, _ = G.densify_and_prune(
+                    self.state, (self.adam.mu, self.adam.nu), self.stats,
+                    self._next_key(), o.densify_grad_threshold, 0.005,
+                    self.scene.cameras_extent,
+                    20.0 if it > o.opacity_reset_interval else 0.0,
+                    o.percent_dense,
+                )
+                self.adam = opt_mod.AdamState(mu, nu, self.adam.count)
+            if it % o.opacity_reset_interval == 0 or (
+                self.cfg.model.white_background and it == o.densify_from_iter
+            ):
+                self.state, (mu, nu) = G.reset_opacity(
+                    self.state, (self.adam.mu, self.adam.nu)
+                )
+                self.adam = opt_mod.AdamState(mu, nu, self.adam.count)
+
+    def _block_len(self, it: int, stage: str, until: int, log_every: int) -> int:
+        """Largest n such that steps it..it+n-1 form one dispatch: no pre
+        event strictly inside, no post event except after the last step."""
+        if not self.BLOCK_SIZES:
+            return 1
+        limit = min(self.BLOCK_SIZES[0], until - it + 1)
+        n = 1
+        while n < limit:
+            j = it + n
+            if self._stage(j) != stage or self._has_pre_event(j, stage):
+                break
+            if self._has_post_event(j - 1, stage, until, log_every):
+                break
+            n += 1
+        for b in self.BLOCK_SIZES:
+            if n >= b:
+                return b
+        return 1
+
+    def _bg_for(self, stage: str):
+        o = self.cfg.opt
+        if o.random_background and stage == "0":
+            return jnp.asarray(self.rng.random(3), jnp.float32)
+        return self.bg
+
     def train(self, until: int | None = None, log_every: int = 200):
         o = self.cfg.opt
         until = until or o.iterations
         t_start = time.time()
         while self.iteration < until:
-            self.iteration += 1
-            it = self.iteration
-            vi = self._next_view()
+            it = self.iteration + 1
             stage = self._stage(it)
+            if stage == "2.2" and (it - o.start_leaf_cb_iter) % o.leaf_update_fr == 0:
+                self.root_id = (self.root_id + 1) % o.root_node_num
+            self._pre_events(it, stage)
 
-            # fork extension: one-shot multi-view SAM mask refinement right
-            # after stage 1 begins (reference train.py:393-426)
-            if (
-                o.enable_multiview_sam_refinement
-                and it == o.start_ins_feat_iter + 1
-            ):
-                self.refine_sam_masks()
-
-            # stage-entry preprocessing
-            if it == o.start_root_cb_iter + 1:
-                self._ensure_pseudo("root")
-            if it == o.start_leaf_cb_iter + 1:
-                self._ensure_pseudo("leaf")
-
-            # codebook updates (train.py:344-355): reassign every 200 (root)
-            # or 50 (leaf) steps; other steps keep cached centers/ids
-            if stage == "2.1":
-                if it % 200 == 1 or it == o.start_root_cb_iter + 1:
-                    self.kms = km.assign_root(
-                        self.kms, self.state.ins_feat, self.state.means,
-                        self.state.alive, o.pos_weight, self._next_key(),
-                        init=(it == o.start_root_cb_iter + 1),
-                    )
-            elif stage == "2.2":
-                if (it - o.start_leaf_cb_iter) % o.leaf_update_fr == 0:
-                    self.root_id = (self.root_id + 1) % o.root_node_num
-                if it % 50 == 1 or it == o.start_leaf_cb_iter + 1:
-                    self.kms = km.assign_leaf(
-                        self.kms, self.state.ins_feat, self.state.alive,
-                        jnp.int32(self.root_id), self._next_key(),
-                        k2=o.leaf_node_num,
-                        init=(it == o.start_leaf_cb_iter + 1),
-                    )
-
-            bg = (jnp.asarray(self.rng.random(3), jnp.float32)
-                  if o.random_background and stage == "0" else self.bg)
-
-            if stage == "0":
-                self.state, self.adam, self.stats, loss, psnr = stage0_step(
-                    self.state, self.adam, self.stats, self.bundle,
-                    jnp.int32(vi), jnp.int32(it), bg, self.spatial_lr_scale,
-                    self.rcfg, o,
-                )
-                # densification events (train.py:593-605)
-                if it < o.densify_until_iter and not o.frozen_init_pts:
-                    if it > o.densify_from_iter and it % o.densification_interval == 0:
-                        self._maybe_grow()
-                        self.state, (mu, nu), self.stats, _ = G.densify_and_prune(
-                            self.state, (self.adam.mu, self.adam.nu), self.stats,
-                            self._next_key(), o.densify_grad_threshold, 0.005,
-                            self.scene.cameras_extent,
-                            20.0 if it > o.opacity_reset_interval else 0.0,
-                            o.percent_dense,
-                        )
-                        self.adam = opt_mod.AdamState(mu, nu, self.adam.count)
-                    if it % o.opacity_reset_interval == 0 or (
-                        self.cfg.model.white_background and it == o.densify_from_iter
-                    ):
-                        self.state, (mu, nu) = G.reset_opacity(
-                            self.state, (self.adam.mu, self.adam.nu)
-                        )
-                        self.adam = opt_mod.AdamState(mu, nu, self.adam.count)
-            elif stage == "1":
-                self.state, self.adam, loss = stage1_step(
-                    self.state, self.adam, self.bundle, jnp.int32(vi),
-                    jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
-                    self.rcfg, o, self.any_alpha,
-                )
-            elif stage == "2.1":
-                self.state, self.adam, loss = stage21_step(
-                    self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
-                    jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
-                    self.pseudo.feat[vi], self.rcfg, o, self.any_alpha,
-                )
+            n = self._block_len(it, stage, until, log_every)
+            if n > 1:
+                loss = self._run_block(it, stage, n)
             else:
-                root_vis = (
-                    self.pseudo.cluster_occur[vi, self.root_id]
-                    if self.pseudo is not None and self.pseudo.cluster_occur is not None
-                    else jnp.bool_(True)
-                )
-                self.state, self.adam, loss, _ = stage22_step(
-                    self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
-                    jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
-                    self.pseudo.feat[vi], jnp.int32(self.root_id), root_vis,
-                    self.rcfg, o, self.any_alpha,
-                )
+                loss = self._run_single(it, stage)
+            it_last = it + n - 1
+            self.iteration = it_last
+            self._post_events(it_last, stage)
 
-            if it % log_every == 0 or it == until:
+            if it_last % log_every == 0 or it_last >= until:
                 rec = dict(
-                    iteration=it, stage=stage, loss=float(loss),
+                    iteration=it_last, stage=stage, loss=float(loss),
                     num_alive=int(self.state.num_alive),
                     elapsed=time.time() - t_start,
                 )
                 self.history.append(rec)
                 print(
-                    f"[it {it}] stage {stage} loss {rec['loss']:.5f} "
+                    f"[it {it_last}] stage {stage} loss {rec['loss']:.5f} "
                     f"pts {rec['num_alive']} ({rec['elapsed']:.0f}s)",
                     flush=True,
                 )
+
+    def _run_single(self, it: int, stage: str):
+        o = self.cfg.opt
+        vi = self._next_view()
+        bg = self._bg_for(stage)
+        if stage == "0":
+            self.state, self.adam, self.stats, loss, _psnr = stage0_step(
+                self.state, self.adam, self.stats, self.bundle,
+                jnp.int32(vi), jnp.int32(it), bg, self.spatial_lr_scale,
+                self.rcfg, o,
+            )
+        elif stage == "1":
+            self.state, self.adam, loss = stage1_step(
+                self.state, self.adam, self.bundle, jnp.int32(vi),
+                jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
+                self.rcfg, o, self.any_alpha,
+            )
+        elif stage == "2.1":
+            self.state, self.adam, loss = stage21_step(
+                self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
+                jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
+                self.pseudo.feat[vi], self.rcfg, o, self.any_alpha,
+            )
+        else:
+            root_vis = (
+                self.pseudo.cluster_occur[vi, self.root_id]
+                if self.pseudo is not None and self.pseudo.cluster_occur is not None
+                else jnp.bool_(True)
+            )
+            self.state, self.adam, loss, _ = stage22_step(
+                self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
+                jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
+                self.pseudo.feat[vi], jnp.int32(self.root_id), root_vis,
+                self.rcfg, o, self.any_alpha,
+            )
+        return loss
+
+    def _run_block(self, it: int, stage: str, n: int):
+        """One scanned dispatch of n consecutive steps (no events inside)."""
+        o = self.cfg.opt
+        its = jnp.arange(it, it + n, dtype=jnp.int32)
+        vis = jnp.asarray([self._next_view() for _ in range(n)], jnp.int32)
+        bgs = jnp.stack([self._bg_for(stage) for _ in range(n)])
+        if stage == "0":
+            self.state, self.adam, self.stats, loss, _psnr = stage0_block(
+                self.state, self.adam, self.stats, self.bundle, vis, its, bgs,
+                self.spatial_lr_scale, self.rcfg, o,
+            )
+            return loss
+        rescales = jnp.asarray(
+            [self._rescale_factor(j) for j in range(it, it + n)], jnp.float32
+        )
+        if stage == "1":
+            self.state, self.adam, loss = stage1_block(
+                self.state, self.adam, self.bundle, vis, its, bgs, rescales,
+                self.rcfg, o, self.any_alpha,
+            )
+        elif stage == "2.1":
+            self.state, self.adam, loss = stage21_block(
+                self.state, self.adam, self.kms, self.bundle, vis, its, bgs,
+                rescales, self.pseudo.feat, self.rcfg, o, self.any_alpha,
+            )
+        else:
+            # root-id round-robin advances inside the block
+            root_ids = []
+            rid = self.root_id
+            for j in range(it, it + n):
+                if j > it and (j - o.start_leaf_cb_iter) % o.leaf_update_fr == 0:
+                    rid = (rid + 1) % o.root_node_num
+                root_ids.append(rid)
+            self.root_id = rid
+            occur = (
+                self.pseudo.cluster_occur
+                if self.pseudo is not None and self.pseudo.cluster_occur is not None
+                else jnp.ones((self.bundle.num_views, o.root_node_num), bool)
+            )
+            self.state, self.adam, loss = stage22_block(
+                self.state, self.adam, self.kms, self.bundle, vis, its, bgs,
+                rescales, jnp.asarray(root_ids, jnp.int32),
+                self.pseudo.feat, occur, self.rcfg, o, self.any_alpha,
+            )
+        return loss
 
     def refine_sam_masks(self):
         """One-shot batched cross-view SAM mask refinement; rewrites the

@@ -129,3 +129,38 @@ def test_stage0_learns_on_consistent_scene(tmp_path):
     tr.train(until=800, log_every=400)
     p1 = tr.evaluate(max_views=3)["psnr"]
     assert p1 > p0 + 2.0, (p0, p1)
+
+
+def test_block_dispatch_matches_single_step(tmp_path):
+    """The scanned multi-step dispatch must reproduce the per-step path:
+    same views, same RNG draws, same math (scan body == step body)."""
+    import jax.numpy as jnp
+
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_views=4)
+    scene = dataset.load_scene(root)
+    opt = OptimizationConfig(
+        iterations=40, start_ins_feat_iter=100, start_root_cb_iter=200,
+        start_leaf_cb_iter=300, densify_from_iter=1000,
+        densify_until_iter=0, opacity_reset_interval=10_000, sam_level=3,
+    )
+    cfg = Config(model=ModelConfig(), opt=opt)
+
+    def run(block: bool):
+        tr = Trainer(scene, cfg, str(tmp_path / f"out_{block}"), rcfg=RCFG,
+                     seed=3)
+        if block:
+            tr.BLOCK_SIZES = (50, 10, 5)
+        tr.train(until=40, log_every=40)
+        return tr
+
+    a = run(True)
+    b = run(False)
+    assert a.iteration == b.iteration == 40
+    np.testing.assert_allclose(
+        np.asarray(a.state.means), np.asarray(b.state.means), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.state.logit_opacity), np.asarray(b.state.logit_opacity),
+        rtol=1e-5, atol=1e-6
+    )
