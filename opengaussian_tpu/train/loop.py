@@ -426,6 +426,16 @@ class Trainer:
         self.root_id = 0
         self._view_queue: list[int] = []
         self.history: list[dict] = []
+        # TensorBoard scalars, like the reference's prepare_output_and_logger
+        # (reference train.py:637-657,956-993); degrades to history-only when
+        # torch/tensorboard is unavailable.
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(out_dir)
+        except Exception:
+            print("Tensorboard not available: not logging progress")
 
     # -- helpers --
 
@@ -631,6 +641,12 @@ class Trainer:
                     elapsed=time.time() - t_start,
                 )
                 self.history.append(rec)
+                if self.tb is not None:
+                    self.tb.add_scalar("train_loss_patches/total_loss",
+                                       rec["loss"], it_last)
+                    self.tb.add_scalar("total_points", rec["num_alive"], it_last)
+                    self.tb.add_scalar("iter_time",
+                                       rec["elapsed"] / max(it_last, 1), it_last)
                 print(
                     f"[it {it_last}] stage {stage} loss {rec['loss']:.5f} "
                     f"pts {rec['num_alive']} ({rec['elapsed']:.0f}s)",
@@ -760,7 +776,16 @@ class Trainer:
             _, p, l1 = eval_view(self.state, bundle, jnp.int32(i), self.bg, self.rcfg)
             psnrs.append(float(p))
             l1s.append(float(l1))
-        return dict(psnr=float(np.mean(psnrs)), l1=float(np.mean(l1s)), views=n)
+        m = dict(psnr=float(np.mean(psnrs)), l1=float(np.mean(l1s)), views=n)
+        if self.tb is not None:
+            split = "test" if self.test_bundle else "train"
+            self.tb.add_scalar(f"{split}/loss_viewpoint - psnr", m["psnr"],
+                               self.iteration)
+            self.tb.add_scalar(f"{split}/loss_viewpoint - l1_loss", m["l1"],
+                               self.iteration)
+            op = np.asarray(self.state.opacity)[np.asarray(self.state.alive)]
+            self.tb.add_histogram("scene/opacity_histogram", op, self.iteration)
+        return m
 
     def save(self, tag: str | None = None):
         it = self.iteration
