@@ -1,0 +1,81 @@
+"""End-to-end 3D convergence check: GT images are renders of a KNOWN
+gaussian scene from 24 poses; training starts from a noisy sparse subsample
+and must recover it on held-out views.
+
+Measured on a TPU v5e chip (2026-08): test PSNR 16.8 (init) -> 26.2 (it 500)
+-> 36.1 (it 2000) -> 39.0 (it 4000), densification growing 800 -> 6381
+splats. Exercises the full chain: projection/binning/Pallas blend fwd+bwd,
+SH gradients, screen-space gradient tap, densify/clone/split/prune, Adam
+schedules, held-out evaluation.
+
+Run: PYTHONPATH=. python examples/synthetic_convergence.py
+"""
+import time, sys, tempfile, os, dataclasses
+import numpy as np
+
+import jax, jax.numpy as jnp
+from opengaussian_tpu.cameras import Camera
+from opengaussian_tpu.models.gaussians import create_from_pcd
+from opengaussian_tpu.ops.rasterize import RasterizeConfig, rasterize
+from opengaussian_tpu.ops.projection import build_cov3d
+from opengaussian_tpu.ops.sh import sh_to_rgb
+from opengaussian_tpu.config import Config, ModelConfig, OptimizationConfig
+from opengaussian_tpu.data.dataset import Scene, View
+from opengaussian_tpu.train.loop import Trainer
+
+W, H = 640, 480
+rng = np.random.default_rng(7)
+# GT scene: 3 colored blobs + ground plane of splats
+n_gt = 3000
+c = []
+for center, color in [((0,0,4),(1,.2,.2)), ((-.8,.3,4.5),(.2,1,.3)), ((.7,-.4,3.6),(.25,.4,1))]:
+    pts = rng.normal(0, .25, (n_gt//3, 3)) + center
+    c.append((pts, np.tile(color,(n_gt//3,1)) * rng.uniform(.6,1,(n_gt//3,1))))
+pts = np.concatenate([a for a,_ in c]).astype(np.float32)
+cols = np.concatenate([b for _,b in c]).astype(np.float32)
+gt_state = create_from_pcd(pts, cols, capacity=n_gt, seed=1)
+gt_state = dataclasses.replace(gt_state, log_scales=gt_state.log_scales*0 + np.log(0.04),
+    logit_opacity=jnp.full((n_gt,), 2.0))
+
+def pose(i, n):
+    ang = 0.6*(i/n - 0.5)
+    R = np.array([[np.cos(ang),0,-np.sin(ang)],[0,1,0],[np.sin(ang),0,np.cos(ang)]], np.float32)
+    t = np.array([0.8*np.sin(ang*2), 0.0, 0.2*np.cos(ang)], np.float32)
+    return R, t
+
+rcfg = RasterizeConfig(max_per_tile=512, chunk=64)
+views = []
+for i in range(24):
+    R, t = pose(i, 24)
+    cam = Camera.from_fov(R, t, 1.0, 0.8, W, H)
+    rgb = sh_to_rgb(3, gt_state.sh, gt_state.means, cam.cam_center)
+    out = jax.jit(lambda m,cv,o,p,cam=cam: rasterize(cam, m, cv, o, p, jnp.zeros(3), rcfg))(
+        gt_state.means, build_cov3d(gt_state.scales, gt_state.quats), gt_state.opacity, rgb)
+    img = np.clip(np.asarray(out.image), 0, 1)
+    views.append(View(camera=cam, gt_image=img.astype(np.float32), image_name=f"v{i:02d}",
+                      sam_mask=None, gt_alpha_mask=None))
+
+# train scene: init from noisy sparse subsample of GT points
+init_idx = rng.choice(n_gt, 800, replace=False)
+init_pts = pts[init_idx] + rng.normal(0, 0.05, (800,3)).astype(np.float32)
+init_cols = np.full((800,3), 0.5, np.float32)
+scene = Scene(train_views=views[:20], test_views=views[20:], points=init_pts,
+              colors=init_cols, cameras_extent=2.0, source_path="synthetic")
+cfg = Config(model=ModelConfig(), opt=OptimizationConfig(
+    iterations=100000, start_ins_feat_iter=10**6, start_root_cb_iter=10**6,
+    start_leaf_cb_iter=10**6, densify_from_iter=500, densify_until_iter=2500,
+    densification_interval=100, opacity_reset_interval=3000,
+    densify_grad_threshold=0.0004, sam_level=3))
+tr = Trainer(scene, cfg, tempfile.mkdtemp(), rcfg=rcfg)
+print("init PSNR:", tr.evaluate()["psnr"], flush=True)
+for k in (500, 1000, 2000, 3000, 4000):
+    tr.train(until=k, log_every=10**9)
+    m = tr.evaluate()
+    print(f"it {k}: test PSNR {m['psnr']:.2f}  pts {int(tr.state.num_alive)}", flush=True)
+# save a side-by-side for eyeballs
+from opengaussian_tpu.train.loop import eval_view
+img, p, _ = eval_view(tr.state, tr.test_bundle, jnp.int32(0), tr.bg, rcfg)
+from PIL import Image
+side = np.concatenate([np.asarray(img), views[20].gt_image], axis=1)
+Image.fromarray((np.clip(side,0,1)*255).astype(np.uint8)).save("converge_side_by_side.png")
+print("done")
