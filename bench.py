@@ -2,8 +2,13 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: fwd+bwd Mpix/s per chip at the ScanNet native resolution 1296x968
-with a realistic splat count, sustained over a timed loop after warmup.
+Metric: fwd+bwd Mpix/s per chip at the ScanNet native resolution 1296x968,
+200k splats with trained-scene statistics (compact splats, broad opacity
+distribution, ~620k tile intersections = depth complexity ~110 — still
+heavier than typical trained scenes at 20-80), sustained over a timed loop
+after warmup. Binning budgets are auto-tuned the same way the trainer tunes
+them (ops/budget.py) and the run asserts zero dropped/truncated
+intersections, so the measured numbers are exact-render numbers.
 Baseline anchor: ~23 Mpix/s derived from the reference's published ScanNet
 wall-clock on an RTX 4090 (BASELINE.md).
 """
@@ -45,12 +50,16 @@ def main():
 
     state = dataclasses.replace(
         state,
-        log_scales=state.log_scales + np.log(0.35),
+        log_scales=state.log_scales + np.log(0.15),
         logit_opacity=jnp.asarray(rng.normal(0.0, 2.0, N_GAUSS).astype(np.float32)),
     )
 
     cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, WIDTH, HEIGHT)
-    rcfg = RasterizeConfig(max_per_tile=1024, chunk=64)
+    from opengaussian_tpu.ops import budget
+
+    rcfg = budget.tuned_config(
+        RasterizeConfig(max_per_tile=1024, chunk=64), state, [cam]
+    )
     bg = jnp.zeros(3)
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
 
@@ -62,6 +71,19 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_fn)(gs.params())
         return loss, grads
+
+    # budget health: the tuned budgets must lose nothing
+    from opengaussian_tpu.ops.projection import build_cov3d
+    from opengaussian_tpu.ops.rasterize import rasterize
+
+    chk = jax.jit(
+        lambda gs: rasterize(
+            cam, gs.means, build_cov3d(gs.scales, gs.quats), gs.opacity,
+            jnp.zeros((gs.capacity, 3)), bg, rcfg,
+        )
+    )(state)
+    assert int(chk.n_dropped) == 0 and int(chk.n_truncated) == 0, (
+        int(chk.n_dropped), int(chk.n_truncated))
 
     # warmup / compile
     loss, grads = fwd_bwd(state)

@@ -44,6 +44,9 @@ class RasterizeConfig:
     chunk: int = 64  # splats blended per scan step
     intersection_multiple: int = 8  # P_max = multiple * N (rounded up)
     min_intersections: int = 65536
+    # exact intersection budget (0 = derive from intersection_multiple);
+    # set by ops/budget.py auto-tuning to avoid integer-multiple waste
+    intersection_budget: int = 0
     # blend backend: "auto" = fused Pallas kernel on TPU / XLA scan elsewhere;
     # "pallas" forces the kernel (interpret mode off-TPU, for tests);
     # "xla" forces the scan path.
@@ -53,6 +56,8 @@ class RasterizeConfig:
     tight_radius: bool = True
 
     def max_intersections(self, n: int) -> int:
+        if self.intersection_budget:
+            return max(self.intersection_budget, self.min_intersections)
         return max(self.intersection_multiple * n, self.min_intersections)
 
     def use_pallas(self) -> bool:

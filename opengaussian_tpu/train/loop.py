@@ -385,7 +385,8 @@ def eval_view(state, bundle: ViewBundle, view_idx, bg, rcfg: RasterizeConfig):
 
 class Trainer:
     def __init__(self, scene: Scene, cfg: Config, out_dir: str,
-                 rcfg: RasterizeConfig | None = None, seed: int = 0):
+                 rcfg: RasterizeConfig | None = None, seed: int = 0,
+                 autotune_budgets: bool = True):
         self.scene = scene
         self.cfg = cfg
         self.out_dir = out_dir
@@ -424,6 +425,8 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.iteration = 0
         self.root_id = 0
+        self.autotune_budgets = autotune_budgets
+        self._budgets_tuned = False
         self._view_queue: list[int] = []
         self.history: list[dict] = []
         # TensorBoard scalars, like the reference's prepare_output_and_logger
@@ -458,6 +461,24 @@ class Trainer:
             return "2.1"
         return "2.2"
 
+    def _tune_budgets(self):
+        """Right-size the static binning budgets to the scene (ops/budget.py);
+        runs once at training start and again after capacity growth (which
+        recompiles the step anyway)."""
+        if not self.autotune_budgets:
+            return
+        from opengaussian_tpu.ops import budget
+
+        cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
+        new = budget.tuned_config(self.rcfg, self.state, cams)
+        if new != self.rcfg:
+            print(f"[budget] intersection_multiple "
+                  f"{self.rcfg.intersection_multiple}->{new.intersection_multiple}, "
+                  f"max_per_tile {self.rcfg.max_per_tile}->{new.max_per_tile}",
+                  flush=True)
+            self.rcfg = new
+        self._budgets_tuned = True
+
     def _maybe_grow(self):
         frac = int(self.state.num_alive) / self.state.capacity
         if frac > 0.9:
@@ -467,6 +488,7 @@ class Trainer:
             nu = G.grow_capacity(self.adam.nu, new_cap)
             self.adam = opt_mod.AdamState(mu=mu, nu=nu, count=self.adam.count)
             self.stats = G.grow_capacity(self.stats, new_cap)
+            self._budgets_tuned = False  # re-probe at the new scale
             self.kms = self.kms._replace(
                 cls_ids=G.grow_capacity(self.kms.cls_ids, new_cap),
                 leaf_cls_ids=jnp.concatenate([
@@ -619,6 +641,8 @@ class Trainer:
         until = until or o.iterations
         t_start = time.time()
         while self.iteration < until:
+            if not self._budgets_tuned:
+                self._tune_budgets()
             it = self.iteration + 1
             stage = self._stage(it)
             if stage == "2.2" and (it - o.start_leaf_cb_iter) % o.leaf_update_fr == 0:
