@@ -472,8 +472,9 @@ class Trainer:
         cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
         new = budget.tuned_config(self.rcfg, self.state, cams)
         if new != self.rcfg:
-            print(f"[budget] intersection_multiple "
-                  f"{self.rcfg.intersection_multiple}->{new.intersection_multiple}, "
+            old_p = self.rcfg.max_intersections(self.state.capacity)
+            new_p = new.max_intersections(self.state.capacity)
+            print(f"[budget] intersections {old_p}->{new_p}, "
                   f"max_per_tile {self.rcfg.max_per_tile}->{new.max_per_tile}",
                   flush=True)
             self.rcfg = new
