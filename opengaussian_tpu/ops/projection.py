@@ -50,10 +50,15 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
-    """scales [N,3] (activated, positive), quats [N,4] -> Sigma [N,3,3]."""
+    """scales [N,3] (activated, positive), quats [N,4] -> Sigma [N,3,3].
+
+    Full f32 precision: XLA's default would run these tiny batched matmuls
+    in bf16 on the MXU, which is fine for throughput but perturbs the conic
+    and radius relative to the f32 CUDA reference."""
     R = quat_to_rotmat(quats)
     L = R * scales[..., None, :]  # R @ diag(s)
-    return L @ jnp.swapaxes(L, -1, -2)
+    return jnp.matmul(L, jnp.swapaxes(L, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.tree_util.register_dataclass
@@ -120,7 +125,10 @@ def project(
     M0 = j00[:, None] * W[0] + j02[:, None] * W[2]
     M1 = j11[:, None] * W[1] + j12[:, None] * W[2]
     M = jnp.stack([M0, M1], axis=-2)
-    cov2d = M @ cov3d @ jnp.swapaxes(M, -1, -2)  # [N,2,2]
+    cov2d = jnp.matmul(
+        jnp.matmul(M, cov3d, precision=jax.lax.Precision.HIGHEST),
+        jnp.swapaxes(M, -1, -2), precision=jax.lax.Precision.HIGHEST,
+    )  # [N,2,2]
     c00 = cov2d[..., 0, 0] + DILATION
     c01 = cov2d[..., 0, 1]
     c11 = cov2d[..., 1, 1] + DILATION

@@ -78,7 +78,13 @@ class ViewBundle:
         return self.gt_images.shape[0]
 
 
-def bundle_views(views: list[View], sam_level: int) -> ViewBundle:
+def bundle_views(views: list[View], sam_level: int,
+                 device: bool = True) -> ViewBundle:
+    """device=True: all views resident in HBM (no transfers in the hot
+    loop). device=False: the save_memory mode — arrays stay host numpy and
+    the trainer streams ONE view's window to the device per step (the
+    TPU-shaped equivalent of the reference's --save_memory to_gpu/to_cpu
+    shuffling, reference scene/cameras.py:94-107, train.py:633-635)."""
     assert views, "no views"
     h, w = views[0].gt_image.shape[:2]
     for v in views:
@@ -93,23 +99,37 @@ def bundle_views(views: list[View], sam_level: int) -> ViewBundle:
         else:
             ids.append(np.zeros((h, w), np.int32))
     max_masks = int(np.ceil(max_masks / 8) * 8)
+    conv = jnp.asarray if device else np.asarray
     return ViewBundle(
-        R=jnp.stack([jnp.asarray(v.camera.R_w2c) for v in views]),
-        t=jnp.stack([jnp.asarray(v.camera.t_w2c) for v in views]),
-        fx=jnp.stack([jnp.asarray(v.camera.fx) for v in views]),
-        fy=jnp.stack([jnp.asarray(v.camera.fy) for v in views]),
-        cx=jnp.stack([jnp.asarray(v.camera.cx) for v in views]),
-        cy=jnp.stack([jnp.asarray(v.camera.cy) for v in views]),
-        gt_images=jnp.stack([jnp.asarray(v.gt_image) for v in views]),
-        alpha_masks=jnp.stack(
-            [jnp.asarray(v.gt_alpha_mask if v.gt_alpha_mask is not None
-                         else np.ones((h, w), np.float32)) for v in views]
-        ),
-        has_alpha=jnp.asarray([v.gt_alpha_mask is not None for v in views]),
-        sam_ids=jnp.asarray(np.stack(ids)),
+        R=conv(np.stack([np.asarray(v.camera.R_w2c) for v in views])),
+        t=conv(np.stack([np.asarray(v.camera.t_w2c) for v in views])),
+        fx=conv(np.asarray([v.camera.fx for v in views], np.float32)),
+        fy=conv(np.asarray([v.camera.fy for v in views], np.float32)),
+        cx=conv(np.asarray([v.camera.cx for v in views], np.float32)),
+        cy=conv(np.asarray([v.camera.cy for v in views], np.float32)),
+        gt_images=conv(np.stack([np.asarray(v.gt_image, np.float32) for v in views])),
+        alpha_masks=conv(np.stack(
+            [np.asarray(v.gt_alpha_mask if v.gt_alpha_mask is not None
+                        else np.ones((h, w), np.float32), np.float32)
+             for v in views]
+        )),
+        has_alpha=conv(np.asarray([v.gt_alpha_mask is not None for v in views])),
+        sam_ids=conv(np.stack(ids)),
         width=w,
         height=h,
         max_masks=max_masks,
+    )
+
+
+def bundle_window(bundle: ViewBundle, vi: int) -> ViewBundle:
+    """One-view device window of a host-resident bundle (save_memory)."""
+    sl = lambda x: jnp.asarray(np.asarray(x[vi:vi + 1]))
+    return ViewBundle(
+        R=sl(bundle.R), t=sl(bundle.t), fx=sl(bundle.fx), fy=sl(bundle.fy),
+        cx=sl(bundle.cx), cy=sl(bundle.cy), gt_images=sl(bundle.gt_images),
+        alpha_masks=sl(bundle.alpha_masks), has_alpha=sl(bundle.has_alpha),
+        sam_ids=sl(bundle.sam_ids), width=bundle.width, height=bundle.height,
+        max_masks=bundle.max_masks,
     )
 
 
@@ -396,7 +416,10 @@ class Trainer:
 
         # sorted order is load-bearing for pseudo labels (train.py:673)
         self.train_views = sorted(scene.train_views, key=lambda v: v.image_name)
-        self.bundle = bundle_views(self.train_views, cfg.opt.sam_level)
+        self.save_memory = bool(cfg.opt.save_memory)
+        self.bundle = bundle_views(
+            self.train_views, cfg.opt.sam_level, device=not self.save_memory
+        )
         self.test_bundle = (
             bundle_views(sorted(scene.test_views, key=lambda v: v.image_name),
                          cfg.opt.sam_level)
@@ -515,7 +538,7 @@ class Trainer:
             self.state, cams, self.bundle.sam_ids, self.bg,
             self.bundle.max_masks, self.rcfg, mode=mode,
             cls_ids=self.kms.cls_ids, k1=self.cfg.opt.root_node_num,
-            k2=self.cfg.opt.leaf_node_num,
+            k2=self.cfg.opt.leaf_node_num, to_host=self.save_memory,
         )
         if mode == "leaf" and self.pseudo.leaf_sub_num is not None:
             self.kms = self.kms._replace(leaf_sub_num=self.pseudo.leaf_sub_num)
@@ -615,7 +638,7 @@ class Trainer:
     def _block_len(self, it: int, stage: str, until: int, log_every: int) -> int:
         """Largest n such that steps it..it+n-1 form one dispatch: no pre
         event strictly inside, no post event except after the last step."""
-        if not self.BLOCK_SIZES:
+        if not self.BLOCK_SIZES or self.save_memory:
             return 1
         limit = min(self.BLOCK_SIZES[0], until - it + 1)
         n = 1
@@ -682,35 +705,41 @@ class Trainer:
         o = self.cfg.opt
         vi = self._next_view()
         bg = self._bg_for(stage)
+        bundle, svi = self.bundle, vi
+        if self.save_memory:
+            # stream this view's window to the device (async H2D overlaps
+            # with the previous step's compute)
+            bundle, svi = bundle_window(self.bundle, vi), 0
         if stage == "0":
             self.state, self.adam, self.stats, loss, _psnr = stage0_step(
-                self.state, self.adam, self.stats, self.bundle,
-                jnp.int32(vi), jnp.int32(it), bg, self.spatial_lr_scale,
+                self.state, self.adam, self.stats, bundle,
+                jnp.int32(svi), jnp.int32(it), bg, self.spatial_lr_scale,
                 self.rcfg, o,
             )
         elif stage == "1":
             self.state, self.adam, loss = stage1_step(
-                self.state, self.adam, self.bundle, jnp.int32(vi),
+                self.state, self.adam, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 self.rcfg, o, self.any_alpha,
             )
         elif stage == "2.1":
             self.state, self.adam, loss = stage21_step(
-                self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
+                self.state, self.adam, self.kms, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
-                self.pseudo.feat[vi], self.rcfg, o, self.any_alpha,
+                jnp.asarray(self.pseudo.feat[vi]), self.rcfg, o,
+                self.any_alpha,
             )
         else:
             root_vis = (
-                self.pseudo.cluster_occur[vi, self.root_id]
+                jnp.bool_(bool(np.asarray(self.pseudo.cluster_occur)[vi, self.root_id]))
                 if self.pseudo is not None and self.pseudo.cluster_occur is not None
                 else jnp.bool_(True)
             )
             self.state, self.adam, loss, _ = stage22_step(
-                self.state, self.adam, self.kms, self.bundle, jnp.int32(vi),
+                self.state, self.adam, self.kms, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
-                self.pseudo.feat[vi], jnp.int32(self.root_id), root_vis,
-                self.rcfg, o, self.any_alpha,
+                jnp.asarray(self.pseudo.feat[vi]), jnp.int32(self.root_id),
+                root_vis, self.rcfg, o, self.any_alpha,
             )
         return loss
 
@@ -772,8 +801,9 @@ class Trainer:
         )
         ids = np.maximum(refined, 0).astype(np.int32)  # -1 void -> 0 invalid
         new_max = int(np.ceil(max(int(ids.max()), 8) / 8) * 8)
+        conv = np.asarray if self.save_memory else jnp.asarray
         self.bundle = dataclasses.replace(
-            self.bundle, sam_ids=jnp.asarray(ids), max_masks=new_max
+            self.bundle, sam_ids=conv(ids), max_masks=new_max
         )
         print("Multi-view SAM mask refinement completed", flush=True)
 
@@ -796,9 +826,11 @@ class Trainer:
     def evaluate(self, max_views: int = 25) -> dict:
         bundle = self.test_bundle or self.bundle
         n = min(bundle.num_views, max_views)
+        host = self.test_bundle is None and self.save_memory
         psnrs, l1s = [], []
         for i in range(n):
-            _, p, l1 = eval_view(self.state, bundle, jnp.int32(i), self.bg, self.rcfg)
+            b, j = (bundle_window(bundle, i), 0) if host else (bundle, i)
+            _, p, l1 = eval_view(self.state, b, jnp.int32(j), self.bg, self.rcfg)
             psnrs.append(float(p))
             l1s.append(float(l1))
         m = dict(psnr=float(np.mean(psnrs)), l1=float(np.mean(l1s)), views=n)

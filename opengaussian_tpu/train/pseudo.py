@@ -113,14 +113,21 @@ def construct_pseudo_labels(
     cls_ids: jnp.ndarray | None = None,
     k1: int = 64,
     k2: int = 5,
+    to_host: bool = False,
 ) -> PseudoLabels:
+    """to_host=True keeps the per-view pseudo-feature images in host memory
+    (save_memory mode): at V views of HxWx6 f32 this is the single largest
+    training-time buffer, and the trainer streams one view per step."""
+    stack = (lambda xs: np.stack([np.asarray(x) for x in xs])) if to_host \
+        else jnp.stack
     feats, ids = [], []
     for i, cam in enumerate(cameras):
-        f, m = _sweep1_view(gs, cam, sam_ids[i], bg, max_masks, config)
+        f, m = _sweep1_view(gs, cam, jnp.asarray(sam_ids[i]), bg, max_masks,
+                            config)
         feats.append(f)
         ids.append(m)
-    feat = jnp.stack(feats)
-    mask_ids = jnp.stack(ids)
+    feat = stack(feats)
+    mask_ids = stack(ids)
 
     occur = None
     sub_num = None
@@ -130,11 +137,12 @@ def construct_pseudo_labels(
         occ = []
         for i, cam in enumerate(cameras):
             c, o = _sweep2_view(
-                gs, cam, feat[i], mask_ids[i], cls_ids, bg, max_masks, k1, config
+                gs, cam, jnp.asarray(feat[i]), jnp.asarray(mask_ids[i]),
+                cls_ids, bg, max_masks, k1, config
             )
             counts = jnp.maximum(counts, c)
             occ.append(o)
-        occur = jnp.stack(occ)
+        occur = stack(occ)
         # reference: iClusterSubNum = (max_count + 1).clamp(max=k2) train.py:835
         sub_num = jnp.minimum(counts + 1, k2)
     return PseudoLabels(feat=feat, mask_ids=mask_ids, cluster_occur=occur,

@@ -164,3 +164,31 @@ def test_block_dispatch_matches_single_step(tmp_path):
         np.asarray(a.state.logit_opacity), np.asarray(b.state.logit_opacity),
         rtol=1e-5, atol=1e-6
     )
+
+
+def test_save_memory_matches_device_resident(tmp_path):
+    """save_memory streams one view's window per step; the trajectory must
+    match the device-resident bundle exactly (same math, same RNG draws)."""
+    import dataclasses as dc
+
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_views=4)
+    scene = dataset.load_scene(root)
+    opt = dc.replace(TINY, save_memory=False)
+
+    def run(save_mem: bool):
+        cfg = Config(model=ModelConfig(), opt=dc.replace(TINY, save_memory=save_mem))
+        tr = Trainer(scene, cfg, str(tmp_path / f"out_{save_mem}"), rcfg=RCFG,
+                     seed=5)
+        tr.train(until=120, log_every=120)  # all stages incl. 2.1/2.2
+        return tr
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(
+        np.asarray(a.state.means), np.asarray(b.state.means), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.state.ins_feat), np.asarray(b.state.ins_feat),
+        rtol=1e-5, atol=1e-6
+    )
