@@ -52,13 +52,15 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 def build_cov3d(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     """scales [N,3] (activated, positive), quats [N,4] -> Sigma [N,3,3].
 
-    Full f32 precision: XLA's default would run these tiny batched matmuls
-    in bf16 on the MXU, which is fine for throughput but perturbs the conic
-    and radius relative to the f32 CUDA reference."""
+    The 3x3 product is unrolled to elementwise VPU math: exact f32 (XLA
+    would otherwise run the batched matmul in bf16 on the MXU, perturbing
+    the conic/radius vs the f32 CUDA reference) and faster than tiny
+    HIGHEST-precision MXU matmuls."""
     R = quat_to_rotmat(quats)
     L = R * scales[..., None, :]  # R @ diag(s)
-    return jnp.matmul(L, jnp.swapaxes(L, -1, -2),
-                      precision=jax.lax.Precision.HIGHEST)
+    # Sigma = L @ L^T unrolled: [N,3,1,3] * [N,1,3,3] summed over the last
+    # axis lowers to pure VPU multiply-adds (no tiny-matmul MXU pass)
+    return jnp.sum(L[..., :, None, :] * L[..., None, :, :], axis=-1)
 
 
 @jax.tree_util.register_dataclass
@@ -124,11 +126,12 @@ def project(
     # M = J @ W : [N, 2, 3]
     M0 = j00[:, None] * W[0] + j02[:, None] * W[2]
     M1 = j11[:, None] * W[1] + j12[:, None] * W[2]
-    M = jnp.stack([M0, M1], axis=-2)
-    cov2d = jnp.matmul(
-        jnp.matmul(M, cov3d, precision=jax.lax.Precision.HIGHEST),
-        jnp.swapaxes(M, -1, -2), precision=jax.lax.Precision.HIGHEST,
-    )  # [N,2,2]
+    M = jnp.stack([M0, M1], axis=-2)  # [N,2,3]
+    # cov2d = M Sigma M^T unrolled to broadcasting multiply-adds (exact f32
+    # on the VPU; XLA lowers small batched matmuls to bf16 MXU passes and
+    # HIGHEST-precision ones to 3x slower multi-pass matmuls)
+    MS = jnp.sum(M[..., :, None, :] * cov3d[..., None, :, :], axis=-1)  # [N,2,3]
+    cov2d = jnp.sum(MS[..., :, None, :] * M[..., None, :, :], axis=-1)  # [N,2,2]
     c00 = cov2d[..., 0, 0] + DILATION
     c01 = cov2d[..., 0, 1]
     c11 = cov2d[..., 1, 1] + DILATION
