@@ -40,9 +40,17 @@ class TileBins(NamedTuple):
 
 
 def bin_gaussians(
-    proj: Projected, grid_x: int, grid_y: int, max_intersections: int, max_per_tile: int
+    proj: Projected, grid_x: int, grid_y: int, max_intersections: int,
+    max_per_tile: int, tile_lo: int = 0, tile_hi: int | None = None,
 ) -> TileBins:
+    """tile_lo/tile_hi restrict the DENSE outputs (gauss_idx, counts) to the
+    tile range [tile_lo, tile_hi) — used by banded rendering to bound the
+    dense per-tile memory for very large images; the per-slot stream still
+    covers the full frame."""
     num_tiles = grid_x * grid_y
+    if tile_hi is None:
+        tile_hi = num_tiles
+    band = tile_hi - tile_lo
     P = max_intersections
     K = max_per_tile
 
@@ -136,11 +144,10 @@ def bin_gaussians(
             is_stable=False,  # keys are unique as a pair
         )
 
-    # per-tile ranges (num_tiles queries only)
-    tstart = jnp.searchsorted(tile_s, jnp.arange(num_tiles, dtype=jnp.int32), side="left")
-    tend = jnp.searchsorted(
-        tile_s, jnp.arange(num_tiles, dtype=jnp.int32), side="right"
-    )
+    # per-tile ranges (band queries only)
+    band_ids = tile_lo + jnp.arange(band, dtype=jnp.int32)
+    tstart = jnp.searchsorted(tile_s, band_ids, side="left")
+    tend = jnp.searchsorted(tile_s, band_ids, side="right")
     full_counts = tend - tstart
     counts = jnp.minimum(full_counts, K)
 
@@ -158,13 +165,16 @@ def bin_gaussians(
     run_start = jax.lax.cummax(jnp.where(run_change, slot, 0))
     k_of_slot = slot - run_start
     sorted_ok = (tile_s < num_tiles) & (k_of_slot < K)
-    tile_clip = jnp.minimum(tile_s, num_tiles - 1)
-    dest = jnp.where(sorted_ok, tile_clip * K + k_of_slot, num_tiles * K)
+    in_band = (tile_s >= tile_lo) & (tile_s < tile_hi)
+    tile_clip = jnp.clip(tile_s, tile_lo, tile_hi - 1)
+    dest = jnp.where(
+        sorted_ok & in_band, (tile_clip - tile_lo) * K + k_of_slot, band * K
+    )
     gauss_idx = (
-        jnp.zeros((num_tiles * K,), jnp.int32)
+        jnp.zeros((band * K,), jnp.int32)
         .at[dest]
         .set(g_sorted, mode="drop")
-        .reshape(num_tiles, K)
+        .reshape(band, K)
     )
 
     # The sort and all integer plumbing feed both the forward blend and the

@@ -247,7 +247,8 @@ class RasterOut:
     n_truncated: Any  # [] int32
 
 
-def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None):
+def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
+             tile_lo: int = 0, tile_hi: int | None = None):
     grid_x = (camera.width + TILE - 1) // TILE
     grid_y = (camera.height + TILE - 1) // TILE
     proj: Projected = project(
@@ -260,8 +261,12 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None):
         grid_y,
         config.max_intersections(means3d.shape[0]),
         config.max_per_tile,
+        tile_lo=tile_lo,
+        tile_hi=tile_hi,
     )
-    return proj, bins, _tile_pixels(grid_x, grid_y), (grid_x, grid_y)
+    lo = tile_lo
+    hi = grid_x * grid_y if tile_hi is None else tile_hi
+    return proj, bins, _tile_pixels(grid_x, grid_y)[lo:hi], (grid_x, grid_y)
 
 
 def _untile(x, grid_x, grid_y, H, W):
@@ -271,7 +276,8 @@ def _untile(x, grid_x, grid_y, H, W):
     return x[:H, :W]
 
 
-def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
+def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
+               tile_lo: int = 0):
     grid_x, grid_y = grids
     H, W = camera.height, camera.width
     opac = jnp.where(proj.valid, opacities, 0.0)
@@ -280,7 +286,8 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
         from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
         n = proj.mean2d.shape[0]
-        max_chunks = config.max_intersections(n) // config.chunk + grid_x * grid_y
+        n_band = bins.counts.shape[0]
+        max_chunks = config.max_intersections(n) // config.chunk + n_band
         accum, t_final = blend_tiles_pallas(
             proj.mean2d,
             proj.conic,
@@ -288,7 +295,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
             full_payload,
             bins.gauss_idx,
             bins.counts,
-            jnp.zeros((1,), jnp.int32),
+            jnp.asarray([tile_lo], jnp.int32),
             config.chunk,
             grid_x,
             max_chunks,
@@ -306,9 +313,12 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config):
         )
     C = payload.shape[1]
     img_tiles = accum[:, :, :C] + t_final[..., None] * bg[None, None, :]
-    image = _untile(img_tiles, grid_x, grid_y, H, W)
-    alpha = _untile((1.0 - t_final)[..., None], grid_x, grid_y, H, W)[..., 0]
-    depth = _untile(accum[:, :, C:], grid_x, grid_y, H, W)[..., 0]
+    rows = bins.counts.shape[0] // grid_x  # tile rows in this band
+    y0 = (tile_lo // grid_x) * TILE
+    hband = min(rows * TILE, H - y0)
+    image = _untile(img_tiles, grid_x, rows, hband, W)
+    alpha = _untile((1.0 - t_final)[..., None], grid_x, rows, hband, W)[..., 0]
+    depth = _untile(accum[:, :, C:], grid_x, rows, hband, W)[..., 0]
     return image, alpha, depth
 
 
@@ -340,6 +350,58 @@ def rasterize(
         radii=proj.radius,
         n_dropped=bins.n_dropped,
         n_truncated=bins.n_truncated,
+    )
+
+
+def rasterize_banded(
+    camera: Camera,
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    payload: jnp.ndarray,
+    bg: jnp.ndarray,
+    config: RasterizeConfig = RasterizeConfig(),
+    bands: int = 4,
+    screen_tap: jnp.ndarray | None = None,
+) -> RasterOut:
+    """Render in `bands` horizontal tile bands to bound the dense per-tile
+    memory (the [tiles, K, F] staging buffers scale with the tile count,
+    which OOMs a single chip for 4K frames with millions of splats). Each
+    band re-bins the frame (per-slot stream cost repeats) but only the
+    band's tiles are staged densely. Pixel-exact: band results equal the
+    single-pass render."""
+    grid_x = (camera.width + TILE - 1) // TILE
+    grid_y = (camera.height + TILE - 1) // TILE
+    rows_per = (grid_y + bands - 1) // bands
+    imgs, alphas, depths = [], [], []
+    proj = bins = None
+    n_dropped = jnp.int32(0)
+    n_truncated = jnp.int32(0)
+    for b in range(bands):
+        r0 = b * rows_per
+        if r0 >= grid_y:
+            break
+        r1 = min(grid_y, r0 + rows_per)
+        proj, bins, pix, grids = _prepare(
+            camera, means3d, cov3d, config, screen_tap, opacities,
+            tile_lo=r0 * grid_x, tile_hi=r1 * grid_x,
+        )
+        image, alpha, depth = _composite(
+            camera, proj, bins, pix, grids, opacities, payload, bg, config,
+            tile_lo=r0 * grid_x,
+        )
+        imgs.append(image)
+        alphas.append(alpha)
+        depths.append(depth)
+        n_dropped = n_dropped + bins.n_dropped
+        n_truncated = n_truncated + bins.n_truncated
+    return RasterOut(
+        image=jnp.concatenate(imgs, axis=0),
+        alpha=jnp.concatenate(alphas, axis=0),
+        depth=jnp.concatenate(depths, axis=0),
+        radii=proj.radius,
+        n_dropped=n_dropped // bands,  # every band sees the same full stream
+        n_truncated=n_truncated,
     )
 
 

@@ -178,3 +178,22 @@ def test_jit_and_truncation_budgets():
     out = f(means, scales, quats, op, cols)
     assert np.isfinite(np.asarray(out.image)).all()
     assert int(out.n_truncated) > 0 or int(out.n_dropped) > 0
+
+
+def test_banded_matches_single_pass():
+    """rasterize_banded must be pixel-exact vs the single-pass render."""
+    from opengaussian_tpu.ops.rasterize import rasterize_banded
+
+    cam = make_cam(96, 80)
+    means, scales, quats, op, cols = random_scene(200, seed=9)
+    cov = build_cov3d(scales, quats)
+    cfg = RasterizeConfig(max_per_tile=128, chunk=32, min_intersections=8192)
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+    full = rasterize(cam, means, cov, op, cols, bg, cfg)
+    banded = rasterize_banded(cam, means, cov, op, cols, bg, cfg, bands=3)
+    np.testing.assert_allclose(np.asarray(banded.image), np.asarray(full.image),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(banded.alpha), np.asarray(full.alpha),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(banded.depth), np.asarray(full.depth),
+                               rtol=1e-6, atol=1e-6)
