@@ -167,3 +167,42 @@ def test_toy_training_improves_psnr():
     psnr0 = float(losses.psnr(img0, gt))
     psnr1 = float(losses.psnr(img, gt))
     assert psnr1 > psnr0 + 3.0, (psnr0, psnr1)
+
+
+def test_kmeans_robust_to_nan_dead_rows():
+    """Dead (pruned) rows can hold NaN after densification surgery; the
+    weighted one-hot matmul must not let 0 * NaN poison the centers, and
+    k-means++ init must separate well-separated blobs (plain random init
+    measured collapsing at small k)."""
+    import jax
+    import jax.numpy as jnp
+
+    from opengaussian_tpu.ops import kmeans as km
+
+    rng = np.random.default_rng(0)
+    n, cap = 900, 1024
+    feats3 = rng.normal(size=(3, 6)).astype(np.float32)
+    feats3 /= np.linalg.norm(feats3, axis=1, keepdims=True)
+    xyz = np.zeros((cap, 3), np.float32)
+    feat = np.full((cap, 6), np.nan, np.float32)  # dead rows NaN on purpose
+    for b in range(3):
+        sl = slice(b * 300, (b + 1) * 300)
+        xyz[sl] = rng.normal(0, 0.15, (300, 3)) + np.array([b * 1.5, 0, 4.0])
+        feat[sl] = feats3[b] + rng.normal(0, 0.05, (300, 6))
+    alive = np.zeros(cap, bool)
+    alive[:n] = True
+    st = km.KMeansState.create(cap, 3, 2)
+    st = km.assign_root(st, jnp.asarray(feat), jnp.asarray(xyz),
+                        jnp.asarray(alive), 1.0, jax.random.PRNGKey(0),
+                        init=True)
+    assert np.isfinite(np.asarray(st.centers)).all()
+    ids = np.asarray(st.cls_ids)[:n]
+    true = np.repeat([0, 1, 2], 300)
+    # every blob maps to its own root with high purity
+    used = set()
+    for b in range(3):
+        h = np.bincount(ids[true == b], minlength=3)
+        root = int(h.argmax())
+        assert h[root] >= 270, h  # >=90% purity
+        used.add(root)
+    assert len(used) == 3
