@@ -105,6 +105,25 @@ def init_centers_from_points(feat: jnp.ndarray, weight: jnp.ndarray, k: int, key
     return centers
 
 
+def _align_labels(centers, ids, ref_centers):
+    """Greedy bijective relabeling of `centers` onto `ref_centers` (closest
+    pairs first). Returns (centers[perm applied], relabeled ids)."""
+    k = centers.shape[0]
+    cost0 = _dist2(centers, ref_centers)  # [k_new, k_ref]
+
+    def step(_, carry):
+        cost, perm = carry
+        flat = jnp.argmin(cost)
+        i, j = flat // k, flat % k
+        perm = perm.at[i].set(j)
+        cost = cost.at[i, :].set(jnp.inf).at[:, j].set(jnp.inf)
+        return cost, perm
+
+    _, perm = jax.lax.fori_loop(0, k, step, (cost0, jnp.zeros((k,), jnp.int32)))
+    inv = jnp.zeros((k,), jnp.int32).at[perm].set(jnp.arange(k, dtype=jnp.int32))
+    return centers[inv], perm[ids].astype(jnp.int32)
+
+
 def assign_root(
     state: KMeansState,
     ins_feat: jnp.ndarray,  # [N,6] raw (un-normalized) features
@@ -122,10 +141,31 @@ def assign_root(
     # they are zeroed (weights already exclude them from the means).
     feat = jnp.where(alive[:, None], feat, 0.0)
     w = alive.astype(jnp.float32)
-    centers = state.centers
+
+    def run(centers0):
+        centers, ids = _lloyd(feat, w, centers0, iters)
+        d = _dist2(feat, centers)
+        err = jnp.sum(jnp.take_along_axis(d, ids[:, None], axis=1)[:, 0] * w)
+        return centers, ids, err
+
+    fresh = init_centers_from_points(feat, w, state.centers.shape[0], key)
+    c1, i1, e1 = run(fresh)
     if init:
-        centers = init_centers_from_points(feat, w, centers.shape[0], key)
-    centers, ids = _lloyd(feat, w, centers, iters)
+        centers, ids = c1, i1
+    else:
+        # Lloyd from cached centers tracks the drifting features (reference
+        # behavior), but it cannot escape a bad basin (e.g. two clusters
+        # merged while another splits — a measured failure). Each reassign
+        # also tries a fresh k-means++ restart and keeps whichever
+        # clustering quantizes better. Cluster LABELS are load-bearing
+        # between reassignments (leaf codebooks, pseudo visibility, and the
+        # stage-2.2 round-robin are keyed by root id), so the restart is
+        # relabeled by greedy center matching against the cached labels.
+        c2, i2, e2 = run(state.centers)
+        c1, i1 = _align_labels(c1, i1, state.centers)
+        better = e1 < e2
+        centers = jnp.where(better, c1, c2)
+        ids = jnp.where(better, i1, i2)
     return state._replace(centers=centers, cls_ids=ids)
 
 

@@ -206,3 +206,54 @@ def test_kmeans_robust_to_nan_dead_rows():
         assert h[root] >= 270, h  # >=90% purity
         used.add(root)
     assert len(used) == 3
+
+
+def test_kmeans_reassign_escapes_bad_basin_with_stable_labels():
+    """A cached clustering where two centers sit inside one blob (and a third
+    blob is merged) is a Lloyd fixed point; the reassign path must escape it
+    via the k-means++ restart while keeping labels aligned to the cached ones,
+    because leaf codebooks and the stage-2.2 round-robin key off root ids."""
+    import jax
+    import jax.numpy as jnp
+
+    from opengaussian_tpu.ops import kmeans as km
+
+    rng = np.random.default_rng(3)
+    n = 900
+    xyz = np.zeros((n, 3), np.float32)
+    feat = np.zeros((n, 6), np.float32)
+    blob_feats = np.eye(3, 6, dtype=np.float32) * 2.0
+    for b in range(3):
+        sl = slice(b * 300, (b + 1) * 300)
+        xyz[sl] = rng.normal(0, 0.05, (300, 3)) + np.array([b * 3.0, 0, 4.0])
+        feat[sl] = blob_feats[b] + rng.normal(0, 0.03, (300, 6))
+    alive = np.ones(n, bool)
+    true = np.repeat([0, 1, 2], 300)
+
+    st = km.KMeansState.create(n, 3, 2)
+    # Bad basin: centers 0 and 1 both inside blob 0 (split along a noise
+    # direction), center 2 between blobs 1 and 2 (merged). Lloyd alone cannot
+    # leave this configuration.
+    cat = np.concatenate([feat, xyz], axis=1)
+    bad = np.stack([
+        cat[:300].mean(0) + 0.02,
+        cat[:300].mean(0) - 0.02,
+        cat[300:].mean(0),
+    ]).astype(np.float32)
+    st = st._replace(centers=jnp.asarray(bad))
+    st = km.assign_root(st, jnp.asarray(feat), jnp.asarray(xyz), jnp.asarray(alive),
+                        1.0, jax.random.PRNGKey(1), init=False)
+    ids = np.asarray(st.cls_ids)
+    roots = []
+    for b in range(3):
+        h = np.bincount(ids[true == b], minlength=3)
+        root = int(h.argmax())
+        assert h[root] >= 270, h
+        roots.append(root)
+    assert len(set(roots)) == 3
+    # Label stability: blob 0 owned ids {0,1} and blobs 1+2 shared id 2 in the
+    # cached clustering; greedy alignment must hand blob 0 one of its old ids
+    # and keep id 2 on one of blobs 1/2 (no gratuitous relabeling of points
+    # that stayed put).
+    assert roots[0] in (0, 1)
+    assert 2 in (roots[1], roots[2])
