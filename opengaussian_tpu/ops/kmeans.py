@@ -105,9 +105,10 @@ def init_centers_from_points(feat: jnp.ndarray, weight: jnp.ndarray, k: int, key
     return centers
 
 
-def _align_labels(centers, ids, ref_centers):
-    """Greedy bijective relabeling of `centers` onto `ref_centers` (closest
-    pairs first). Returns (centers[perm applied], relabeled ids)."""
+def match_labels(centers, ref_centers):
+    """Greedy bijective matching of `centers` onto `ref_centers` (closest
+    pairs first). Returns (perm, inv): new cluster i takes ref label perm[i];
+    centers[inv] is the center table reordered to ref labels."""
     k = centers.shape[0]
     cost0 = _dist2(centers, ref_centers)  # [k_new, k_ref]
 
@@ -121,6 +122,12 @@ def _align_labels(centers, ids, ref_centers):
 
     _, perm = jax.lax.fori_loop(0, k, step, (cost0, jnp.zeros((k,), jnp.int32)))
     inv = jnp.zeros((k,), jnp.int32).at[perm].set(jnp.arange(k, dtype=jnp.int32))
+    return perm, inv
+
+
+def _align_labels(centers, ids, ref_centers):
+    """Relabel `centers`/`ids` onto `ref_centers` labels via match_labels."""
+    perm, inv = match_labels(centers, ref_centers)
     return centers[inv], perm[ids].astype(jnp.int32)
 
 

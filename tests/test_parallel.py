@@ -84,3 +84,105 @@ def test_sharded_train_step_runs_and_learns():
     # params stayed sharded over the mesh
     shd = state.means.sharding
     assert len(shd.device_set) == 8
+
+
+def _blob_scene(n=960, seed=5):
+    rng = np.random.default_rng(seed)
+    xyz = np.zeros((n, 3), np.float32)
+    feat = np.zeros((n, 6), np.float32)
+    blob_feats = np.eye(3, 6, dtype=np.float32) * 2.0
+    per = n // 3
+    for b in range(3):
+        sl = slice(b * per, (b + 1) * per)
+        xyz[sl] = rng.normal(0, 0.05, (per, 3)) + np.array([b * 3.0, 0, 4.0])
+        feat[sl] = blob_feats[b] + rng.normal(0, 0.03, (per, 6))
+    true = np.repeat([0, 1, 2], per)
+    return feat, xyz, true
+
+
+def test_sharded_kmeans_root_matches_quality_and_stays_sharded():
+    from opengaussian_tpu.ops import kmeans as km
+    from opengaussian_tpu.parallel import kmeans as pkm
+
+    mesh = make_mesh(8)
+    feat, xyz, true = _blob_scene()
+    n = feat.shape[0]
+    alive = np.ones(n, bool)
+    st = km.KMeansState.create(n, 3, 2)
+    sh_feat, sh_xyz, sh_alive = shard_gaussians(mesh, (jnp.asarray(feat), jnp.asarray(xyz), jnp.asarray(alive)))
+
+    st = pkm.assign_root_sharded(mesh, st, sh_feat, sh_xyz, sh_alive, 1.0,
+                                 jax.random.PRNGKey(0), init=True)
+    ids = np.asarray(st.cls_ids)
+    assert len(st.cls_ids.sharding.device_set) == 8  # assignment stayed sharded
+    per = n // 3
+    used = set()
+    for b in range(3):
+        h = np.bincount(ids[true == b], minlength=3)
+        root = int(h.argmax())
+        assert h[root] >= int(per * 0.9), h
+        used.add(root)
+    assert len(used) == 3
+
+
+def test_sharded_kmeans_reassign_aligns_labels_to_cache():
+    """Reassign from good cached centers must keep the SAME root labels
+    (restart or not), since downstream state is keyed by root id."""
+    from opengaussian_tpu.ops import kmeans as km
+    from opengaussian_tpu.parallel import kmeans as pkm
+
+    mesh = make_mesh(8)
+    feat, xyz, true = _blob_scene(seed=6)
+    n = feat.shape[0]
+    alive = np.ones(n, bool)
+    cat = np.concatenate([feat, xyz], axis=1)
+    per = n // 3
+    cached = np.stack([cat[true == b].mean(0) for b in (2, 0, 1)]).astype(np.float32)
+    st = km.KMeansState.create(n, 3, 2)._replace(centers=jnp.asarray(cached))
+    sh = shard_gaussians(mesh, (jnp.asarray(feat), jnp.asarray(xyz), jnp.asarray(alive)))
+
+    st = pkm.assign_root_sharded(mesh, st, *sh, 1.0, jax.random.PRNGKey(1), init=False)
+    ids = np.asarray(st.cls_ids)
+    # cached label layout: blob 2 -> 0, blob 0 -> 1, blob 1 -> 2
+    want = {2: 0, 0: 1, 1: 2}
+    for b, lab in want.items():
+        h = np.bincount(ids[true == b], minlength=3)
+        assert int(h.argmax()) == lab, (b, h)
+        assert h[lab] >= int(per * 0.9), h
+    # centers converged to the blob means under the cached labeling
+    got = np.asarray(st.centers)
+    np.testing.assert_allclose(got, cached, atol=0.05)
+
+
+def test_sharded_kmeans_leaf_matches_single_device_semantics():
+    from opengaussian_tpu.ops import kmeans as km
+    from opengaussian_tpu.parallel import kmeans as pkm
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    n, k2 = 512, 4
+    feat = np.zeros((n, 6), np.float32)
+    # root 0 points = first half, two sub-blobs; root 1 = second half
+    feat[: n // 4] = np.array([1, 0, 0, 0, 0, 0], np.float32) + rng.normal(0, 0.02, (n // 4, 6))
+    feat[n // 4 : n // 2] = np.array([0, 1, 0, 0, 0, 0], np.float32) + rng.normal(0, 0.02, (n // 4, 6))
+    feat[n // 2 :] = np.array([0, 0, 3, 0, 0, 0], np.float32) + rng.normal(0, 0.02, (n // 2, 6))
+    alive = np.ones(n, bool)
+    cls_ids = np.where(np.arange(n) < n // 2, 0, 1).astype(np.int32)
+
+    st = km.KMeansState.create(n, 2, k2)._replace(
+        cls_ids=jnp.asarray(cls_ids),
+        leaf_sub_num=jnp.asarray([2, 1], jnp.int32),  # root 0: 2 active leaves
+    )
+    sh_feat, sh_alive, sh_cls = shard_gaussians(
+        mesh, (jnp.asarray(feat), jnp.asarray(alive), jnp.asarray(cls_ids)))
+    st_sh = st._replace(cls_ids=sh_cls)
+    st_sh = pkm.assign_leaf_sharded(mesh, st_sh, sh_feat, sh_alive, 0,
+                                    jax.random.PRNGKey(2), k2, init=True)
+    leaf_ids = np.asarray(st_sh.leaf_cls_ids)
+    # root-1 points untouched (still in the unassigned bucket)
+    assert (leaf_ids[n // 2 :] == 2 * k2).all()
+    # root-0 sub-blobs split into exactly the 2 active slots {0, 1}
+    a, b = leaf_ids[: n // 4], leaf_ids[n // 4 : n // 2]
+    assert set(np.unique(a)) | set(np.unique(b)) <= {0, 1}
+    assert np.unique(a).size == 1 and np.unique(b).size == 1
+    assert a[0] != b[0]
