@@ -34,6 +34,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--loss_weight", type=float, default=None)
     p.add_argument("--sam_level", type=int, default=None)
     p.add_argument("--frozen_init_pts", action="store_true", default=None)
+    p.add_argument("--save_memory", action="store_true", default=None)
+    p.add_argument("--enable_multiview_sam_refinement", action="store_true",
+                   default=None)
+    p.add_argument("--random_background", action="store_true", default=None)
+    p.add_argument("--leaf_update_fr", type=int, default=None)
+    p.add_argument("--lambda_dssim", type=float, default=None)
+    p.add_argument("--percent_dense", type=float, default=None)
+    p.add_argument("--densification_interval", type=int, default=None)
+    p.add_argument("--opacity_reset_interval", type=int, default=None)
+    p.add_argument("--densify_from_iter", type=int, default=None)
+    p.add_argument("--densify_until_iter", type=int, default=None)
+    p.add_argument("--densify_grad_threshold", type=float, default=None)
+    p.add_argument("--position_lr_init", type=float, default=None)
+    p.add_argument("--position_lr_final", type=float, default=None)
+    p.add_argument("--feature_lr", type=float, default=None)
+    p.add_argument("--ins_feat_lr", type=float, default=None)
+    p.add_argument("--opacity_lr", type=float, default=None)
+    p.add_argument("--scaling_lr", type=float, default=None)
+    p.add_argument("--rotation_lr", type=float, default=None)
     p.add_argument("--test_iterations", nargs="+", type=int, default=[30_000])
     p.add_argument("--save_iterations", nargs="+", type=int, default=None)
     p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
@@ -55,6 +74,13 @@ def main(argv=None):
             "iterations", "start_ins_feat_iter", "start_root_cb_iter",
             "start_leaf_cb_iter", "root_node_num", "leaf_node_num",
             "pos_weight", "loss_weight", "sam_level", "frozen_init_pts",
+            "save_memory", "enable_multiview_sam_refinement",
+            "random_background", "leaf_update_fr", "lambda_dssim",
+            "percent_dense", "densification_interval",
+            "opacity_reset_interval", "densify_from_iter",
+            "densify_until_iter", "densify_grad_threshold",
+            "position_lr_init", "position_lr_final", "feature_lr",
+            "ins_feat_lr", "opacity_lr", "scaling_lr", "rotation_lr",
         )
         if getattr(args, k) is not None
     }

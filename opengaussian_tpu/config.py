@@ -125,12 +125,21 @@ PRESETS: dict[str, Config] = {
     "lerf/figurines": _lerf(
         "figurines", root_node_num=64, leaf_node_num=10, pos_weight=0.5, save_memory=True
     ),
+    # teatime: k1=32, pos_weight=0.1 (scripts/train_lerf.sh:81-83)
     "lerf/teatime": _lerf(
-        "teatime", root_node_num=64, leaf_node_num=10, pos_weight=0.5, save_memory=True
+        "teatime", root_node_num=32, leaf_node_num=10, pos_weight=0.1, save_memory=True
     ),
-    "lerf/ramen": _lerf("ramen", root_node_num=64, leaf_node_num=10, pos_weight=0.5),
+    # ramen: cohesion loss weight 0.01 instead of 0.1 (scripts/train_lerf.sh:108-111)
+    "lerf/ramen": _lerf(
+        "ramen", root_node_num=64, leaf_node_num=10, pos_weight=0.5, loss_weight=0.01
+    ),
     "lerf/waldo_kitchen": _lerf(
         "waldo_kitchen", root_node_num=64, leaf_node_num=10, pos_weight=0.5
     ),
-    "scannet/default": _scannet(root_node_num=64, leaf_node_num=5, pos_weight=1.0),
+    # scannet2: the scripted recipe also enables the fork's multi-view SAM
+    # refinement (scripts/train_scannet.sh:38-47)
+    "scannet/default": _scannet(
+        root_node_num=64, leaf_node_num=5, pos_weight=1.0,
+        enable_multiview_sam_refinement=True,
+    ),
 }
