@@ -52,6 +52,7 @@ class RenderOutputs:
     screen_grad_tap: Any = None  # the [N,2] zeros whose grad is the densify signal
     visibility_filter: Any = None  # [N] bool
     radii: Any = None  # [N] int32
+    n_lost: Any = None  # [] int32 dropped+truncated intersections (budget health)
 
 
 def encoded_ins_feat(gs: GaussianState, quantized=None, origin_feat: bool = False):
@@ -94,6 +95,7 @@ def render(
             radii=r.radii,
             visibility_filter=r.radii > 0,
             screen_grad_tap=screen_tap,
+            n_lost=r.n_dropped + r.n_truncated,
         )
         radii = r.radii
 
@@ -102,7 +104,11 @@ def render(
         cov3d_f = build_cov3d(scales * rescale_factor, gs.quats)
         fbg = jnp.concatenate([bg, bg])  # reference applies the same 3-ch bg
         rf = rasterize(camera, gs.means, cov3d_f, opac, feat, fbg, config)
-        out = dataclasses.replace(out, ins_feat=rf.image, silhouette=rf.alpha)
+        lost = rf.n_dropped + rf.n_truncated
+        out = dataclasses.replace(
+            out, ins_feat=rf.image, silhouette=rf.alpha,
+            n_lost=lost if out.n_lost is None else jnp.maximum(out.n_lost, lost),
+        )
         if radii is None:
             out = dataclasses.replace(
                 out, radii=rf.radii, visibility_filter=rf.radii > 0

@@ -180,7 +180,8 @@ def _stage0_body(state, adam, stats, bundle: ViewBundle, view_idx, iteration,
     lrs = opt_mod.learning_rates(ocfg, iteration, spatial_lr_scale)
     new_p, adam = opt_mod.apply(state.params(), grads[0], adam, lrs)
     stats = stats.update(grads[1], out.radii)
-    return state.with_params(new_p), adam, stats, loss, losses.psnr(out.render, gt)
+    return (state.with_params(new_p), adam, stats, loss,
+            losses.psnr(out.render, gt), out.n_lost)
 
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "spatial_lr_scale"),
@@ -202,15 +203,15 @@ def stage0_block(state, adam, stats, bundle: ViewBundle, vis, its, bgs,
     def body(carry, xs):
         st, ad, sa = carry
         vi, it, bg = xs
-        st, ad, sa, loss, psnr = _stage0_body(
+        st, ad, sa, loss, psnr, lost = _stage0_body(
             st, ad, sa, bundle, vi, it, bg, spatial_lr_scale, rcfg, ocfg
         )
-        return (st, ad, sa), (loss, psnr)
+        return (st, ad, sa), (loss, psnr, lost)
 
-    (state, adam, stats), (ls, ps) = jax.lax.scan(
+    (state, adam, stats), (ls, ps, lo) = jax.lax.scan(
         body, (state, adam, stats), (vis, its, bgs)
     )
-    return state, adam, stats, ls[-1], ps[-1]
+    return state, adam, stats, ls[-1], ps[-1], jnp.max(lo)
 
 
 def _alpha_mask_loss(out_alpha, bundle, view_idx):
@@ -420,9 +421,11 @@ class Trainer:
         self.bundle = bundle_views(
             self.train_views, cfg.opt.sam_level, device=not self.save_memory
         )
+        # save_memory keeps the test views host-resident too (ADVICE r1:
+        # device-resident test bundles defeated the mode for large test sets)
         self.test_bundle = (
             bundle_views(sorted(scene.test_views, key=lambda v: v.image_name),
-                         cfg.opt.sam_level)
+                         cfg.opt.sam_level, device=not self.save_memory)
             if scene.test_views else None
         )
         self.rcfg = rcfg or RasterizeConfig()
@@ -450,6 +453,7 @@ class Trainer:
         self.root_id = 0
         self.autotune_budgets = autotune_budgets
         self._budgets_tuned = False
+        self._last_lost = None  # budget-health scalar from the last stage-0 step
         self._view_queue: list[int] = []
         self.history: list[dict] = []
         # TensorBoard scalars, like the reference's prepare_output_and_logger
@@ -683,6 +687,18 @@ class Trainer:
             self._post_events(it_last, stage)
 
             if it_last % log_every == 0 or it_last >= until:
+                # Budget health: densification / opacity re-learning can
+                # outgrow the tuned intersection budgets WITHIN a fixed
+                # capacity (ADVICE r1) — when the last step dropped or
+                # truncated intersections, warn and re-probe the budgets.
+                if self._last_lost is not None and int(self._last_lost) > 0:
+                    print(
+                        f"[budget] WARNING: step {it_last} lost "
+                        f"{int(self._last_lost)} intersections to the tuned "
+                        f"budgets; re-probing", flush=True,
+                    )
+                    self._budgets_tuned = False
+                    self._last_lost = None
                 rec = dict(
                     iteration=it_last, stage=stage, loss=float(loss),
                     num_alive=int(self.state.num_alive),
@@ -711,10 +727,12 @@ class Trainer:
             # with the previous step's compute)
             bundle, svi = bundle_window(self.bundle, vi), 0
         if stage == "0":
-            self.state, self.adam, self.stats, loss, _psnr = stage0_step(
-                self.state, self.adam, self.stats, bundle,
-                jnp.int32(svi), jnp.int32(it), bg, self.spatial_lr_scale,
-                self.rcfg, o,
+            self.state, self.adam, self.stats, loss, _psnr, self._last_lost = (
+                stage0_step(
+                    self.state, self.adam, self.stats, bundle,
+                    jnp.int32(svi), jnp.int32(it), bg, self.spatial_lr_scale,
+                    self.rcfg, o,
+                )
             )
         elif stage == "1":
             self.state, self.adam, loss = stage1_step(
@@ -750,9 +768,11 @@ class Trainer:
         vis = jnp.asarray([self._next_view() for _ in range(n)], jnp.int32)
         bgs = jnp.stack([self._bg_for(stage) for _ in range(n)])
         if stage == "0":
-            self.state, self.adam, self.stats, loss, _psnr = stage0_block(
-                self.state, self.adam, self.stats, self.bundle, vis, its, bgs,
-                self.spatial_lr_scale, self.rcfg, o,
+            self.state, self.adam, self.stats, loss, _psnr, self._last_lost = (
+                stage0_block(
+                    self.state, self.adam, self.stats, self.bundle, vis, its,
+                    bgs, self.spatial_lr_scale, self.rcfg, o,
+                )
             )
             return loss
         rescales = jnp.asarray(
@@ -826,7 +846,7 @@ class Trainer:
     def evaluate(self, max_views: int = 25) -> dict:
         bundle = self.test_bundle or self.bundle
         n = min(bundle.num_views, max_views)
-        host = self.test_bundle is None and self.save_memory
+        host = self.save_memory  # both bundles are host-resident in this mode
         psnrs, l1s = [], []
         for i in range(n):
             b, j = (bundle_window(bundle, i), 0) if host else (bundle, i)
@@ -869,7 +889,18 @@ class Trainer:
         )
 
     def restore_checkpoint(self, path: str):
-        self.state, self.adam, self.stats, kms, self.iteration = ckpt.load(path)
+        if path.endswith(".pth"):
+            # reference torch checkpoint (scripts/train_scannet.sh:46-48)
+            (self.state, self.adam, self.stats, self.iteration,
+             self.spatial_lr_scale) = ckpt.load_torch(path)
+        else:
+            self.state, self.adam, self.stats, kms, self.iteration = ckpt.load(path)
+            if kms is not None:
+                self.kms = kms
         self.state = ckpt.ensure_ins_feat(self.state)
-        if kms is not None:
-            self.kms = kms
+        if self.state.capacity != self.kms.cls_ids.shape[0]:
+            o = self.cfg.opt
+            self.kms = km.KMeansState.create(
+                self.state.capacity, o.root_node_num, o.leaf_node_num
+            )
+        self._budgets_tuned = False
