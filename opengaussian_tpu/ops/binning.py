@@ -81,7 +81,12 @@ def bin_gaussians(
 
     # ONE packed row-gather for all per-slot splat attributes (a v5e scalar
     # gather costs about as much as a row gather, so 8 separate [P] gathers
-    # would be ~8x slower). All values are exact in f32 (< 2^24).
+    # would be ~8x slower). The f32 lanes are exact only below 2^24: starts
+    # ranges up to P and rank up to n, so very large budgets (P or n >= 16M,
+    # i.e. multi-million-splat scenes with 8x duplication) fall back to an
+    # extra int32 row-gather for those two lanes rather than silently
+    # rounding tile coordinates.
+    exact_f32 = P < 2**24 and n < 2**24
     pack = jnp.stack(
         [
             starts.astype(jnp.float32),
@@ -96,7 +101,14 @@ def bin_gaussians(
         axis=-1,
     )  # [N, 8]
     pk = pack[g_safe]  # [P, 8]
-    r = (slot - pk[:, 0].astype(jnp.int32)).astype(jnp.float32)
+    if exact_f32:
+        starts_slot = pk[:, 0].astype(jnp.int32)
+        rank_slot = pk[:, 4].astype(jnp.int32)
+    else:
+        ipack = jnp.stack([starts, rank], axis=-1)[g_safe]  # [P, 2] int32
+        starts_slot = ipack[:, 0]
+        rank_slot = ipack[:, 1]
+    r = (slot - starts_slot).astype(jnp.float32)
     w = pk[:, 3]
     # exact integer div/mod via f32 reciprocal + one correction step —
     # s32 div/mod lower to a slow scalar sequence on the VPU (measured
@@ -128,7 +140,7 @@ def bin_gaussians(
     bits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
     bits_rank = max(int(np.ceil(np.log2(n + 1))), 1)
     if bits_tile + bits_rank <= 31:
-        key = (tile_id << bits_rank) | pk[:, 4].astype(jnp.int32)
+        key = (tile_id << bits_rank) | rank_slot
         key_s, g_sorted = jax.lax.sort(
             (key, g_safe.astype(jnp.int32)), num_keys=1, is_stable=False
         )
@@ -139,19 +151,21 @@ def bin_gaussians(
     else:
         # stable two-key int sort: tile major, depth rank minor
         tile_s, _, g_sorted = jax.lax.sort(
-            (tile_id, pk[:, 4].astype(jnp.int32), g_safe.astype(jnp.int32)),
+            (tile_id, rank_slot, g_safe.astype(jnp.int32)),
             num_keys=2,
             is_stable=False,  # keys are unique as a pair
         )
 
     # per-tile ranges (band queries only). NOTE: a scatter-max of
-    # (k_of_slot + 1) over the band looks cheaper than two T-query
-    # searchsorted calls but measures 6 ms SLOWER on v5e at ~850k slots —
-    # XLA's int scatter is the bottleneck, not the log2(P) probes.
-    band_ids = tile_lo + jnp.arange(band, dtype=jnp.int32)
-    tstart = jnp.searchsorted(tile_s, band_ids, side="left")
-    tend = jnp.searchsorted(tile_s, band_ids, side="right")
-    full_counts = tend - tstart
+    # (k_of_slot + 1) over the band looks cheaper than a searchsorted call
+    # but measures 6 ms SLOWER on v5e at ~850k slots — XLA's int scatter is
+    # the bottleneck, not the log2(P) probes. One (band+1)-query searchsorted
+    # gives both edges: the end of tile t's run is the start of tile t+1's
+    # (ids are sorted, so side="right" at t == side="left" at t+1).
+    band_ids = tile_lo + jnp.arange(band + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(tile_s, band_ids, side="left")
+    tstart = edges[:-1]
+    full_counts = edges[1:] - tstart
     counts = jnp.minimum(full_counts, K)
 
     n_dropped = total - jnp.sum(slot_valid.astype(jnp.int32))

@@ -377,10 +377,12 @@ def rasterize_banded(
     proj = bins = None
     n_dropped = jnp.int32(0)
     n_truncated = jnp.int32(0)
+    bands_run = 0
     for b in range(bands):
         r0 = b * rows_per
         if r0 >= grid_y:
             break
+        bands_run += 1
         r1 = min(grid_y, r0 + rows_per)
         proj, bins, pix, grids = _prepare(
             camera, means3d, cov3d, config, screen_tap, opacities,
@@ -400,7 +402,7 @@ def rasterize_banded(
         alpha=jnp.concatenate(alphas, axis=0),
         depth=jnp.concatenate(depths, axis=0),
         radii=proj.radius,
-        n_dropped=n_dropped // bands,  # every band sees the same full stream
+        n_dropped=n_dropped // bands_run,  # every band sees the same full stream
         n_truncated=n_truncated,
     )
 
