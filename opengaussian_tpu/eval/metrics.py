@@ -1,9 +1,10 @@
 """Image-quality metrics over render directories.
 
 Counterpart of the reference's metrics.py (PSNR/SSIM/LPIPS over
-renders/ vs gt/; results.json + per_view.json). LPIPS uses torch-cpu
-torchvision weights when available (eval-only, never in the train path) and
-is skipped otherwise.
+renders/ vs gt/; results.json + per_view.json). LPIPS is the self-contained
+JAX VGG16 port (eval/lpips.py, matching reference
+lpipsPyTorch/modules/lpips.py semantics including its [0,1]-input quirk);
+it loads vendored weights from a local npz and warns loudly when absent.
 """
 
 from __future__ import annotations
@@ -18,32 +19,12 @@ from PIL import Image
 from opengaussian_tpu.ops.ssim import ssim
 from opengaussian_tpu.train.losses import psnr
 
-_LPIPS = None
-
 
 def lpips_fn():
-    """Lazy VGG-LPIPS on torch CPU; returns None if unavailable (no weights
-    in a zero-egress environment)."""
-    global _LPIPS
-    if _LPIPS is not None:
-        return _LPIPS if _LPIPS != "unavailable" else None
-    try:
-        import torch
-        import lpips  # type: ignore
+    """The self-contained VGG-LPIPS (None when no local weights exist)."""
+    from opengaussian_tpu.eval.lpips import get_lpips
 
-        net = lpips.LPIPS(net="vgg")
-
-        def f(a, b):
-            ta = torch.from_numpy((a * 2 - 1).transpose(2, 0, 1)[None]).float()
-            tb = torch.from_numpy((b * 2 - 1).transpose(2, 0, 1)[None]).float()
-            with torch.no_grad():
-                return float(net(ta, tb))
-
-        _LPIPS = f
-    except Exception:
-        _LPIPS = "unavailable"
-        return None
-    return _LPIPS
+    return get_lpips()
 
 
 def evaluate_dirs(renders_dir: str, gt_dir: str) -> dict:
