@@ -179,22 +179,27 @@ def refine_sam_masks(
     votes_all = np.stack(votes_all)  # [V, N, M]
     vis_all = np.stack(vis_all)  # [V, N]
 
-    # stage 1: global id sync via anchor splats (host graph merge)
+    # stage 1: global id sync via anchor splats (host graph merge).
+    # The per-anchor winners are precomputed in ONE vectorized argmax pass
+    # ([V, A] scalars) so the merge loop only touches scalars — the naive
+    # per-(anchor, view) [M]-vector reads are O(A*V*M) numpy-dispatch-bound.
     opac = np.asarray(gs.opacity)
     anchors = np.flatnonzero((opac >= ANCHOR_OPACITY) & np.asarray(gs.alive))
     anchors = anchors[::anchor_stride] if len(anchors) else anchors
+    win_lid = np.zeros((V, len(anchors)), np.int32)  # 0 = no winner
+    if len(anchors):
+        va = votes_all[:, anchors]  # [V, A, M]
+        has = (va.max(axis=2) > 0) & vis_all[:, anchors]
+        win_lid = np.where(has, va.argmax(axis=2) + 1, 0).astype(np.int32)
     # per (view, local id) -> global id mapping
     local2global = np.zeros((V, max_ids + 1), np.int32)
     next_gid = 1
-    for a in anchors:
+    for ai in range(len(anchors)):
         gid = 0
         for v in range(V):
-            if not vis_all[v, a]:
+            lid = win_lid[v, ai]
+            if lid == 0:
                 continue
-            w = votes_all[v, a]
-            if w.max() <= 0:
-                continue
-            lid = int(np.argmax(w)) + 1
             if local2global[v, lid] > 0:
                 gid = gid or int(local2global[v, lid])
             else:
@@ -202,24 +207,29 @@ def refine_sam_masks(
                     gid = next_gid
                     next_gid += 1
                 local2global[v, lid] = gid
-    # unseen local ids keep their own fresh global ids
+    # unseen local ids keep their own fresh global ids (per-view np.unique:
+    # O(V*H*W), not the O(V*M*H*W) of testing every id against every image)
     for v in range(V):
-        for lid in range(1, max_ids + 1):
-            if local2global[v, lid] == 0 and (sam_ids[v] == lid).any():
-                local2global[v, lid] = next_gid
-                next_gid += 1
+        present = np.unique(sam_ids[v])
+        present = present[(present >= 1) & (present <= max_ids)]
+        fresh = present[local2global[v, present] == 0]
+        local2global[v, fresh] = next_gid + np.arange(len(fresh), dtype=np.int32)
+        next_gid += len(fresh)
     n_gids = next_gid - 1
 
-    # per-splat dominant GLOBAL id across its visible views
+    # per-splat dominant GLOBAL id across its visible views; the local->global
+    # column accumulation is one np.add.at per view (duplicate-safe), not an
+    # M-iteration python loop
     n = gs.capacity
     gvotes = np.zeros((n, n_gids + 1), np.float32)
     for v in range(V):
         remap = local2global[v]  # [max_ids+1]
+        cols = remap[1:]  # global id of local ids 1..M
+        keep = cols > 0
+        if not keep.any():
+            continue
         w = votes_all[v] * vis_all[v][:, None]  # [N, M]
-        for lid in range(1, max_ids + 1):
-            g = remap[lid]
-            if g > 0:
-                gvotes[:, g] += w[:, lid - 1]
+        np.add.at(gvotes.T, cols[keep], w[:, keep].T)
     splat_gid = np.where(gvotes[:, 1:].max(axis=1) > 0,
                          gvotes[:, 1:].argmax(axis=1) + 1, 0).astype(np.int32)
 

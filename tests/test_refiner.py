@@ -69,6 +69,77 @@ def test_splat_votes_pick_correct_mask():
     assert np.asarray(vis)[alive].mean() > 0.5
 
 
+def test_refine_cross_view_consistency_many_views():
+    """Synthetic multi-view scene with known object ids: 4 objects, 6 views,
+    per-view PERMUTED local SAM ids. After refinement each object's region
+    must carry one global id consistently across all views (match rate >95%)
+    — the quality bar of the reference's refiner
+    (reference utils/sam_refinement_utils.py:1159-1302)."""
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[-0.7, -0.5, 3.0], [0.7, -0.5, 3.0], [-0.7, 0.5, 3.0], [0.7, 0.5, 3.0]]
+    )
+    pts = np.concatenate(
+        [rng.normal(0, 0.05, (30, 3)) + c for c in centers]
+    ).astype(np.float32)
+    cols = np.tile([0.5, 0.5, 0.5], (120, 1)).astype(np.float32)
+    st = create_from_pcd(pts, cols, capacity=128, seed=0)
+    st = dataclasses.replace(
+        st,
+        logit_opacity=jnp.where(
+            st.alive, inverse_sigmoid(jnp.float32(0.995)), -10.0
+        ),
+    )
+    obj_of_splat = np.full(128, -1)
+    obj_of_splat[:120] = np.repeat(np.arange(4), 30)
+
+    V = 6
+    cams = [
+        Camera.from_fov(
+            np.eye(3), np.asarray([0.04 * v - 0.1, 0.02 * v - 0.05, 0.0]),
+            1.0, 0.8, 64, 48,
+        )
+        for v in range(V)
+    ]
+
+    # ground-truth object per pixel from each view's projection; local SAM
+    # ids are a per-view permutation of the object ids
+    import jax
+
+    sam = np.zeros((V, 48, 64), np.int64)
+    gt_obj = np.full((V, 48, 64), -1)
+    perms = [rng.permutation(4) for _ in range(V)]
+    for v, cam in enumerate(cams):
+        out = rasterize(
+            cam, st.means, build_cov3d(st.scales, st.quats), st.opacity,
+            jnp.asarray((obj_of_splat[:, None] == np.arange(4)).astype(np.float32)),
+            jnp.zeros(4), CFG,
+        )
+        w = np.asarray(out.image)  # [H,W,4] per-object weight
+        covered = np.asarray(out.alpha) > 0.3
+        obj = w.argmax(-1)
+        gt_obj[v] = np.where(covered, obj, -1)
+        sam[v] = np.where(covered, perms[v][obj] + 1, 0)
+
+    refined = refine_sam_masks(st, cams, sam, CFG, anchor_stride=1)
+
+    # each object region must map to ONE dominant global id across all views
+    match, total = 0, 0
+    for obj in range(4):
+        ids = refined[(gt_obj == obj) & (refined > 0)]
+        assert len(ids) > 50, f"object {obj} lost its pixels"
+        dom = np.bincount(ids).argmax()
+        match += (ids == dom).sum()
+        total += len(ids)
+    assert match / total > 0.95, match / total
+    # distinct objects keep distinct ids
+    doms = [
+        np.bincount(refined[(gt_obj == o) & (refined > 0)]).argmax()
+        for o in range(4)
+    ]
+    assert len(set(doms)) == 4, doms
+
+
 def test_refine_produces_consistent_ids():
     st, cams = two_blob_scene()
     sam = sam_from_silhouettes(st, cams)
