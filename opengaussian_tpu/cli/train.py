@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     p.add_argument("--start_checkpoint", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard training over N devices (0 = single device)")
     return p
 
 
@@ -107,7 +109,13 @@ def main(argv=None):
         f"{len(scene.points)} init points, extent {scene.cameras_extent:.2f}",
         flush=True,
     )
-    tr = Trainer(scene, cfg, out_dir, seed=args.seed)
+    mesh = None
+    if args.mesh:
+        from opengaussian_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh)
+        print(f"Sharding over {args.mesh} devices: {mesh}", flush=True)
+    tr = Trainer(scene, cfg, out_dir, seed=args.seed, mesh=mesh)
     if args.start_checkpoint:
         tr.restore_checkpoint(args.start_checkpoint)
         print(f"Resumed from {args.start_checkpoint} at iteration {tr.iteration}")

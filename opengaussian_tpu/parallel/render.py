@@ -1,4 +1,4 @@
-"""Multi-chip sharded render + train step (shard_map over a device mesh).
+"""Multi-chip sharded render + train steps (shard_map over a device mesh).
 
 Net-new relative to the single-GPU reference (SURVEY.md §2.3/§5.8). One step:
 
@@ -13,6 +13,10 @@ Backward reverses automatically: the all_gather transposes to a
 reduce-scatter of per-Gaussian gradients back to their owner shards, so
 parameter updates stay fully sharded. XLA emits the collectives; nothing is
 hand-scheduled.
+
+`render_sharded` carries the full single-device contract (screen-space
+gradient tap for densification, radii visibility filter, depth image, budget
+health) so every trainer stage can run sharded — see parallel/steps.py.
 """
 
 from __future__ import annotations
@@ -61,8 +65,10 @@ def render_sharded(
     bg,
     config: RasterizeConfig,
     axis: str = "dev",
+    screen_tap=None,  # [N,2] sharded; densification gradient tap
 ):
-    """Returns (image [H,W,C], alpha [H,W]) computed over the mesh."""
+    """-> (image [H,W,C], alpha [H,W], depth [H,W], radii [N] sharded,
+    n_lost []) computed over the mesh."""
     H, W = camera.height, camera.width
     grid_x = (W + TILE - 1) // TILE
     grid_y = (H + TILE - 1) // TILE
@@ -71,10 +77,16 @@ def render_sharded(
     Tp = ((T + nd - 1) // nd) * nd
     C = payload.shape[1]
     n_total = means3d.shape[0]
+    if screen_tap is None:
+        screen_tap = jnp.zeros((n_total, 2))
 
-    def local(means, cov, opac, pay, bg_):
+    def local(cam: Camera, means, cov, opac, pay, tap, bg_):
         r = jax.lax.axis_index(axis)
-        proj = project(means, cov, camera)
+        proj = project(
+            means, cov, cam, screen_tap=tap,
+            opacities=opac if config.tight_radius else None,
+        )
+        radii_local = proj.radius
         proj, pay_f, opac_f = _gather_proj(proj, pay, opac, axis)
         bins = bin_gaussians(
             proj, grid_x, grid_y,
@@ -110,16 +122,19 @@ def render_sharded(
                 config.chunk,
             )
         img = accum[:, :, :C] + t_final[..., None] * bg_[None, None, :]
-        return img, 1.0 - t_final
+        depth = accum[:, :, C]
+        n_lost = bins.n_dropped + bins.n_truncated  # identical on all devices
+        return img, 1.0 - t_final, depth, radii_local, n_lost
 
     pspec = P(axis)
-    img_tiles, alpha_tiles = shard_map(
+    cam_spec = jax.tree.map(lambda _: P(), camera)
+    img_tiles, alpha_tiles, depth_tiles, radii, n_lost = shard_map(
         local,
         mesh=mesh,
-        in_specs=(pspec, pspec, pspec, pspec, P()),
-        out_specs=(pspec, pspec),
+        in_specs=(cam_spec, pspec, pspec, pspec, pspec, pspec, P()),
+        out_specs=(pspec, pspec, pspec, pspec, P()),
         check_vma=False,
-    )(means3d, cov3d, opacities, payload, bg)
+    )(camera, means3d, cov3d, opacities, payload, screen_tap, bg)
 
     def untile(x):
         ch = x.shape[-1]
@@ -127,28 +142,29 @@ def render_sharded(
         x = x.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, ch)
         return x[:H, :W]
 
-    return untile(img_tiles), untile(alpha_tiles[..., None])[..., 0]
+    return (
+        untile(img_tiles),
+        untile(alpha_tiles[..., None])[..., 0],
+        untile(depth_tiles[..., None])[..., 0],
+        radii,
+        n_lost,
+    )
 
 
 def make_sharded_train_step(mesh: Mesh, camera: Camera, config: RasterizeConfig,
                             ocfg, spatial_lr_scale: float = 1.0, axis: str = "dev"):
-    """Full stage-0 training step (render -> loss -> grads -> Adam) with
-    Gaussian-sharded parameters. Returns a jitted step function."""
+    """Backwards-compatible stage-0 RGB step factory with a baked-in camera.
+    The full five-stage sharded trainer lives in parallel/steps.py; this
+    remains for simple benchmarking (fixed camera => one compile)."""
+    from opengaussian_tpu.parallel.steps import make_sharded_steps
+
+    steps = make_sharded_steps(mesh, config, ocfg, spatial_lr_scale, axis=axis)
 
     @jax.jit
     def step(state: G.GaussianState, adam, stats: G.DensifyStats, gt, iteration, bg):
-        def loss_fn(params):
-            gs = state.with_params(params)
-            rgb = sh_to_rgb(3, gs.sh, gs.means, camera.cam_center)
-            cov3d = build_cov3d(gs.scales, gs.quats)
-            img, alpha = render_sharded(
-                mesh, camera, gs.means, cov3d, gs.opacity, rgb, bg, config, axis
-            )
-            return losses.rgb_loss(img, gt, ocfg.lambda_dssim), img
-
-        (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params())
-        lrs = opt_mod.learning_rates(ocfg, iteration, spatial_lr_scale)
-        new_p, adam2 = opt_mod.apply(state.params(), grads, adam, lrs)
-        return state.with_params(new_p), adam2, loss, img
+        state, adam, stats, loss, aux = steps.stage0(
+            state, adam, stats, camera, gt, None, iteration, bg
+        )
+        return state, adam, loss, aux["image"]
 
     return step

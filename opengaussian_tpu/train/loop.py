@@ -407,10 +407,16 @@ def eval_view(state, bundle: ViewBundle, view_idx, bg, rcfg: RasterizeConfig):
 class Trainer:
     def __init__(self, scene: Scene, cfg: Config, out_dir: str,
                  rcfg: RasterizeConfig | None = None, seed: int = 0,
-                 autotune_budgets: bool = True):
+                 autotune_budgets: bool = True, mesh=None):
+        """mesh: a jax.sharding.Mesh routes every stage through the sharded
+        steps in parallel/steps.py (Gaussian-sharded params, tile-sharded
+        blend); None keeps the single-device path."""
         self.scene = scene
         self.cfg = cfg
         self.out_dir = out_dir
+        self.mesh = mesh
+        self._psteps = None
+        self._psteps_key = None
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "cfg_args.json"), "w") as f:
             f.write(cfg.to_json())
@@ -446,6 +452,8 @@ class Trainer:
             self.state.capacity, cfg.opt.root_node_num, cfg.opt.leaf_node_num
         )
         self.pseudo: pseudo_mod.PseudoLabels | None = None
+        if self.mesh is not None:
+            self._reshard()
         self.any_alpha = bool(np.asarray(self.bundle.has_alpha).any())
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -466,6 +474,78 @@ class Trainer:
             self.tb = SummaryWriter(out_dir)
         except Exception:
             print("Tensorboard not available: not logging progress")
+
+    # -- multi-chip routing --
+
+    def _reshard(self):
+        """(Re)place the training state sharded over the mesh — after init,
+        capacity growth, or densification events that de-shard leaves."""
+        from opengaussian_tpu.parallel.mesh import shard_gaussians
+
+        self.state = shard_gaussians(self.mesh, self.state)
+        self.adam = opt_mod.AdamState(
+            mu=shard_gaussians(self.mesh, self.adam.mu),
+            nu=shard_gaussians(self.mesh, self.adam.nu),
+            count=self.adam.count,
+        )
+        self.stats = shard_gaussians(self.mesh, self.stats)
+
+    def _sharded_steps(self):
+        from opengaussian_tpu.parallel.steps import make_sharded_steps
+
+        key = (self.rcfg, self.spatial_lr_scale)
+        if self._psteps is None or self._psteps_key != key:
+            self._psteps = make_sharded_steps(
+                self.mesh, self.rcfg, self.cfg.opt, self.spatial_lr_scale
+            )
+            self._psteps_key = key
+        return self._psteps
+
+    def _run_single_sharded(self, it: int, stage: str):
+        o = self.cfg.opt
+        vi = self._next_view()
+        bg = self._bg_for(stage)
+        b = self.bundle
+        cam = b.camera(vi)
+        steps = self._sharded_steps()
+        if stage == "0":
+            alpha_mask = (
+                jnp.asarray(np.asarray(b.alpha_masks[vi]))
+                if self.any_alpha else None
+            )
+            (self.state, self.adam, self.stats, loss, aux) = steps.stage0(
+                self.state, self.adam, self.stats, cam,
+                jnp.asarray(np.asarray(b.gt_images[vi])), alpha_mask,
+                jnp.int32(it), bg,
+            )
+            self._last_lost = aux["n_lost"]
+        elif stage == "1":
+            self.state, self.adam, loss = steps.stage1(
+                self.state, self.adam, cam,
+                jnp.asarray(np.asarray(b.sam_ids[vi])),
+                jnp.asarray(np.asarray(b.alpha_masks[vi])),
+                jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
+                max_masks=b.max_masks, with_alpha_loss=self.any_alpha,
+            )
+        elif stage == "2.1":
+            self.state, self.adam, loss = steps.stage21(
+                self.state, self.adam, self.kms, cam,
+                jnp.asarray(self.pseudo.feat[vi]), jnp.int32(it), bg,
+                jnp.float32(self._rescale_factor(it)),
+            )
+        else:
+            root_vis = (
+                jnp.bool_(bool(np.asarray(self.pseudo.cluster_occur)[vi, self.root_id]))
+                if self.pseudo is not None and self.pseudo.cluster_occur is not None
+                else jnp.bool_(True)
+            )
+            self.state, self.adam, loss, _ = steps.stage22(
+                self.state, self.adam, self.kms, cam,
+                jnp.asarray(self.pseudo.feat[vi]), jnp.int32(self.root_id),
+                root_vis, jnp.int32(it), bg,
+                jnp.float32(self._rescale_factor(it)),
+            )
+        return loss
 
     # -- helpers --
 
@@ -638,11 +718,13 @@ class Trainer:
                     self.state, (self.adam.mu, self.adam.nu)
                 )
                 self.adam = opt_mod.AdamState(mu, nu, self.adam.count)
+            if self.mesh is not None:
+                self._reshard()  # densify events may de-shard leaves
 
     def _block_len(self, it: int, stage: str, until: int, log_every: int) -> int:
         """Largest n such that steps it..it+n-1 form one dispatch: no pre
         event strictly inside, no post event except after the last step."""
-        if not self.BLOCK_SIZES or self.save_memory:
+        if not self.BLOCK_SIZES or self.save_memory or self.mesh is not None:
             return 1
         limit = min(self.BLOCK_SIZES[0], until - it + 1)
         n = 1
@@ -718,6 +800,8 @@ class Trainer:
                 )
 
     def _run_single(self, it: int, stage: str):
+        if self.mesh is not None:
+            return self._run_single_sharded(it, stage)
         o = self.cfg.opt
         vi = self._next_view()
         bg = self._bg_for(stage)

@@ -26,11 +26,14 @@ def test_sharded_render_matches_single_device():
     ref = rasterize(cam, means, cov, op, cols, bg, CFG)
 
     sh_means, sh_cov, sh_op, sh_cols = shard_gaussians(mesh, (means, cov, op, cols))
-    img, alpha = jax.jit(
+    img, alpha, depth, radii, n_lost = jax.jit(
         lambda m, c, o, p: render_sharded(mesh, cam, m, c, o, p, bg, CFG)
     )(sh_means, sh_cov, sh_op, sh_cols)
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=3e-5)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(radii), np.asarray(ref.radii))
+    assert int(n_lost) == 0
 
 
 def test_sharded_gradients_match_single_device():
@@ -45,7 +48,7 @@ def test_sharded_gradients_match_single_device():
         return jnp.sum((out.image - target) ** 2)
 
     def loss_sharded(means, cols):
-        img, _ = render_sharded(
+        img, *_ = render_sharded(
             mesh, cam, means, build_cov3d(scales, quats), op, cols, bg, CFG
         )
         return jnp.sum((img - target) ** 2)
@@ -84,6 +87,192 @@ def test_sharded_train_step_runs_and_learns():
     # params stayed sharded over the mesh
     shd = state.means.sharding
     assert len(shd.device_set) == 8
+
+
+def _shard_training_state(mesh, state, adam, stats=None):
+    state = shard_gaussians(mesh, state)
+    adam = opt_mod.AdamState(
+        mu=shard_gaussians(mesh, adam.mu), nu=shard_gaussians(mesh, adam.nu),
+        count=adam.count,
+    )
+    if stats is not None:
+        stats = shard_gaussians(mesh, stats)
+    return state, adam, stats
+
+
+def _toy_training_state(n=64, cap=128, seed=2):
+    rng = np.random.default_rng(seed)
+    pts = np.stack([rng.normal(0, 0.5, n), rng.normal(0, 0.4, n),
+                    rng.uniform(2.5, 5, n)], -1).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    state = G.create_from_pcd(pts, cols, capacity=cap)
+    return state, opt_mod.init(state.params()), G.DensifyStats.zeros(cap)
+
+
+def test_sharded_stage0_updates_stats_and_matches_single_device():
+    """The sharded stage-0 step must produce the SAME updated params and
+    densify stats as the single-device trainer step (VERDICT r1: stats were
+    previously ignored under sharding)."""
+    from opengaussian_tpu.parallel.steps import make_sharded_steps
+    from opengaussian_tpu.train import loop as tloop
+
+    mesh = make_mesh(8)
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 0.9, 0.7, 64, 48)
+    state, adam, stats = _toy_training_state()
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(0.2, 0.8, (48, 64, 3)).astype(np.float32))
+    ocfg = OptimizationConfig()
+
+    # single-device reference via the trainer's own step body
+    bundle = tloop.ViewBundle(
+        R=cam.R_w2c[None], t=cam.t_w2c[None],
+        fx=jnp.asarray([cam.fx]), fy=jnp.asarray([cam.fy]),
+        cx=jnp.asarray([cam.cx]), cy=jnp.asarray([cam.cy]),
+        gt_images=gt[None], alpha_masks=jnp.ones((1, 48, 64)),
+        has_alpha=jnp.asarray([False]), sam_ids=jnp.zeros((1, 48, 64), jnp.int32),
+        width=64, height=48, max_masks=8,
+    )
+    s_ref, a_ref, st_ref, loss_ref, _, _ = tloop.stage0_step(
+        state, adam, stats, bundle, jnp.int32(0), jnp.int32(1), jnp.zeros(3),
+        1.0, CFG, ocfg,
+    )
+
+    state2, adam2, stats2 = _toy_training_state()
+    state2, adam2, stats2 = _shard_training_state(mesh, state2, adam2, stats2)
+    steps = make_sharded_steps(mesh, CFG, ocfg, 1.0)
+    s_sh, a_sh, st_sh, loss_sh, aux = steps.stage0(
+        state2, adam2, stats2, cam, gt, None, jnp.int32(1), jnp.zeros(3)
+    )
+    assert np.isfinite(float(loss_sh))
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.means), np.asarray(s_ref.means), atol=2e-5
+    )
+    # densification stats now update under sharding
+    np.testing.assert_allclose(
+        np.asarray(st_sh.grad_accum), np.asarray(st_ref.grad_accum),
+        atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_sh.denom), np.asarray(st_ref.denom)
+    )
+    assert float(np.asarray(st_sh.denom).max()) > 0  # something was visible
+    assert len(s_sh.means.sharding.device_set) == 8
+
+
+def test_sharded_stage1_matches_single_device():
+    from opengaussian_tpu.parallel.steps import make_sharded_steps
+    from opengaussian_tpu.train import loop as tloop
+
+    mesh = make_mesh(8)
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 0.9, 0.7, 64, 48)
+    state, adam, _ = _toy_training_state(seed=3)
+    rng = np.random.default_rng(1)
+    sam = jnp.asarray(
+        (rng.integers(0, 3, (48, 64))).astype(np.int32)
+    )  # 2 masks + invalid
+    ocfg = OptimizationConfig(start_ins_feat_iter=0)
+
+    bundle = tloop.ViewBundle(
+        R=cam.R_w2c[None], t=cam.t_w2c[None],
+        fx=jnp.asarray([cam.fx]), fy=jnp.asarray([cam.fy]),
+        cx=jnp.asarray([cam.cx]), cy=jnp.asarray([cam.cy]),
+        gt_images=jnp.zeros((1, 48, 64, 3)), alpha_masks=jnp.ones((1, 48, 64)),
+        has_alpha=jnp.asarray([False]), sam_ids=sam[None],
+        width=64, height=48, max_masks=8,
+    )
+    means0 = np.asarray(state.means).copy()  # stage1_step donates `state`
+    s_ref, a_ref, loss_ref = tloop.stage1_step(
+        state, adam, bundle, jnp.int32(0), jnp.int32(5), jnp.zeros(3),
+        jnp.float32(1.0), CFG, ocfg,
+    )
+
+    state2, adam2, _ = _toy_training_state(seed=3)
+    state2, adam2, _ = _shard_training_state(mesh, state2, adam2)
+    steps = make_sharded_steps(mesh, CFG, ocfg, 1.0)
+    s_sh, a_sh, loss_sh = steps.stage1(
+        state2, adam2, cam, sam, None, jnp.int32(5), jnp.zeros(3),
+        jnp.float32(1.0), max_masks=8,
+    )
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.ins_feat), np.asarray(s_ref.ins_feat), atol=2e-5
+    )
+    # geometry stayed frozen
+    np.testing.assert_array_equal(np.asarray(s_sh.means), means0)
+
+
+def test_sharded_stage2_codebook_steps_run_and_learn():
+    from opengaussian_tpu.ops import kmeans as km
+    from opengaussian_tpu.parallel.steps import make_sharded_steps
+
+    mesh = make_mesh(8)
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 0.9, 0.7, 64, 48)
+    state, adam, _ = _toy_training_state(seed=4)
+    ocfg = OptimizationConfig(
+        start_ins_feat_iter=0, start_root_cb_iter=0, start_leaf_cb_iter=10,
+        root_node_num=4, leaf_node_num=3,
+    )
+    kms = km.KMeansState.create(state.capacity, 4, 3)
+    kms = km.assign_root(
+        kms, state.ins_feat, state.means, state.alive, 1.0,
+        jax.random.PRNGKey(0), init=True,
+    )
+    state, adam, _ = _shard_training_state(mesh, state, adam)
+    steps = make_sharded_steps(mesh, CFG, ocfg, 1.0)
+    pseudo = jnp.full((48, 64, 6), 0.5)
+
+    losses_21 = []
+    for it in range(1, 4):
+        state, adam, loss = steps.stage21(
+            state, adam, kms, cam, pseudo, jnp.int32(it), jnp.zeros(3),
+            jnp.float32(1.0),
+        )
+        losses_21.append(float(loss))
+    assert np.isfinite(losses_21).all()
+    assert losses_21[-1] <= losses_21[0]
+
+    kms = km.assign_leaf(
+        kms, jnp.asarray(np.asarray(state.ins_feat)), state.alive,
+        jnp.int32(0), jax.random.PRNGKey(1), k2=3, init=True,
+    )
+    state, adam, loss, ok = steps.stage22(
+        state, adam, kms, cam, pseudo, jnp.int32(0), jnp.bool_(True),
+        jnp.int32(12), jnp.zeros(3), jnp.float32(1.0),
+    )
+    assert np.isfinite(float(loss))
+    assert len(state.means.sharding.device_set) == 8
+
+
+def test_trainer_mesh_runs_all_stages(tmp_path):
+    """Trainer(mesh=...) routes every stage through parallel/steps and stays
+    sharded across densify events (the --mesh N CLI path)."""
+    from opengaussian_tpu.config import Config, ModelConfig, OptimizationConfig
+    from opengaussian_tpu.data import dataset
+    from opengaussian_tpu.train.loop import Trainer
+    from tests.test_data import make_colmap_scene
+
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_views=4)
+    scene = dataset.load_scene(root)
+    tiny = OptimizationConfig(
+        iterations=48, start_ins_feat_iter=12, start_root_cb_iter=24,
+        start_leaf_cb_iter=36, densify_from_iter=2, densify_until_iter=10,
+        densification_interval=4, opacity_reset_interval=1000,
+        root_node_num=4, leaf_node_num=3, leaf_update_fr=6, sam_level=3,
+    )
+    mesh = make_mesh(8)
+    tr = Trainer(
+        scene, Config(model=ModelConfig(), opt=tiny), str(tmp_path / "out"),
+        rcfg=RasterizeConfig(max_per_tile=128, chunk=32, min_intersections=8192),
+        mesh=mesh, autotune_budgets=False,
+    )
+    tr.train(until=48, log_every=12)
+    assert tr.iteration == 48
+    assert len(tr.state.means.sharding.device_set) == 8
+    assert all(np.isfinite(h["loss"]) for h in tr.history)
+    stages = {h["stage"] for h in tr.history}
+    assert {"0", "1", "2.1", "2.2"} <= stages
 
 
 def _blob_scene(n=960, seed=5):
