@@ -462,6 +462,15 @@ class Trainer:
         self.autotune_budgets = autotune_budgets
         self._budgets_tuned = False
         self._last_lost = None  # budget-health scalar from the last stage-0 step
+        self._last_view = 0
+        self._tb_first_eval = True
+        # periodic PNG dumps of the training process (reference
+        # train.py:503 save_intermediate)
+        self.save_intermediate = True
+        # SIBR remote viewer (reference train.py:235-248; disabled unless a
+        # port is given, matching the reference's commented-out init)
+        self.viewer_port: int | None = None
+        self._viewer_ready = False
         self._view_queue: list[int] = []
         self.history: list[dict] = []
         # TensorBoard scalars, like the reference's prepare_output_and_logger
@@ -503,7 +512,7 @@ class Trainer:
 
     def _run_single_sharded(self, it: int, stage: str):
         o = self.cfg.opt
-        vi = self._next_view()
+        vi = self._last_view = self._next_view()
         bg = self._bg_for(stage)
         b = self.bundle
         cam = b.camera(vi)
@@ -753,6 +762,7 @@ class Trainer:
         while self.iteration < until:
             if not self._budgets_tuned:
                 self._tune_budgets()
+            self._poll_viewer()
             it = self.iteration + 1
             stage = self._stage(it)
             if stage == "2.2" and (it - o.start_leaf_cb_iter) % o.leaf_update_fr == 0:
@@ -767,6 +777,13 @@ class Trainer:
             it_last = it + n - 1
             self.iteration = it_last
             self._post_events(it_last, stage)
+
+            if self.save_intermediate:
+                from opengaussian_tpu.train import observe
+
+                if it_last % observe.dump_frequency(stage) == 0:
+                    observe.dump_intermediate(self, it_last, stage,
+                                              self._last_view)
 
             if it_last % log_every == 0 or it_last >= until:
                 # Budget health: densification / opacity re-learning can
@@ -803,7 +820,7 @@ class Trainer:
         if self.mesh is not None:
             return self._run_single_sharded(it, stage)
         o = self.cfg.opt
-        vi = self._next_view()
+        vi = self._last_view = self._next_view()
         bg = self._bg_for(stage)
         bundle, svi = self.bundle, vi
         if self.save_memory:
@@ -849,7 +866,9 @@ class Trainer:
         """One scanned dispatch of n consecutive steps (no events inside)."""
         o = self.cfg.opt
         its = jnp.arange(it, it + n, dtype=jnp.int32)
-        vis = jnp.asarray([self._next_view() for _ in range(n)], jnp.int32)
+        vis_host = [self._next_view() for _ in range(n)]
+        self._last_view = vis_host[-1]
+        vis = jnp.asarray(vis_host, jnp.int32)
         bgs = jnp.stack([self._bg_for(stage) for _ in range(n)])
         if stage == "0":
             self.state, self.adam, self.stats, loss, _psnr, self._last_lost = (
@@ -893,6 +912,35 @@ class Trainer:
             )
         return loss
 
+    # -- remote viewer (reference train.py:235-248) --
+
+    def _poll_viewer(self):
+        if self.viewer_port is None:
+            return
+        from opengaussian_tpu.viewer import network_gui
+
+        if not self._viewer_ready:
+            network_gui.init("127.0.0.1", self.viewer_port)
+            self._viewer_ready = True
+        network_gui.poll_and_render(
+            self._viewer_render, self.cfg.model.source_path or self.out_dir
+        )
+
+    def _viewer_render(self, cam: dict, scale_mod: float) -> bytes:
+        w, h = cam["width"], cam["height"]
+        w2c = cam["w2c"]
+        camera = Camera(
+            R_w2c=jnp.asarray(w2c[:3, :3]), t_w2c=jnp.asarray(w2c[:3, 3]),
+            fx=jnp.float32(w / (2.0 * np.tan(cam["fovx"] / 2.0))),
+            fy=jnp.float32(h / (2.0 * np.tan(cam["fovy"] / 2.0))),
+            cx=jnp.float32((w - 1) / 2.0), cy=jnp.float32((h - 1) / 2.0),
+            width=w, height=h,
+        )
+        out = render(camera, self.state, self.bg, 3, self.rcfg,
+                     scale_modifier=float(scale_mod))
+        img = np.clip(np.asarray(out.render), 0.0, 1.0)
+        return (img * 255).astype(np.uint8).tobytes()
+
     def refine_sam_masks(self):
         """One-shot batched cross-view SAM mask refinement; rewrites the
         bundle's SAM ids in place (refine/sam_refiner.py)."""
@@ -931,13 +979,22 @@ class Trainer:
         bundle = self.test_bundle or self.bundle
         n = min(bundle.num_views, max_views)
         host = self.save_memory  # both bundles are host-resident in this mode
-        psnrs, l1s = [], []
+        psnrs, l1s, imgs, gts = [], [], [], []
         for i in range(n):
             b, j = (bundle_window(bundle, i), 0) if host else (bundle, i)
-            _, p, l1 = eval_view(self.state, b, jnp.int32(j), self.bg, self.rcfg)
+            img, p, l1 = eval_view(self.state, b, jnp.int32(j), self.bg, self.rcfg)
             psnrs.append(float(p))
             l1s.append(float(l1))
+            if len(imgs) < 5:
+                imgs.append(np.asarray(img))
+                gts.append(np.asarray(b.gt_images[j]))
         m = dict(psnr=float(np.mean(psnrs)), l1=float(np.mean(l1s)), views=n)
+        if self.tb is not None:
+            from opengaussian_tpu.train import observe
+
+            split = "test" if self.test_bundle else "train"
+            observe.tb_image_grids(self, imgs, gts, split, self._tb_first_eval)
+            self._tb_first_eval = False
         if self.tb is not None:
             split = "test" if self.test_bundle else "train"
             self.tb.add_scalar(f"{split}/loss_viewpoint - psnr", m["psnr"],
