@@ -85,6 +85,40 @@ def main():
     assert int(chk.n_dropped) == 0 and int(chk.n_truncated) == 0, (
         int(chk.n_dropped), int(chk.n_truncated))
 
+    # Pallas-vs-XLA parity ON THE CHIP (CPU CI only reaches interpret mode):
+    # image + grads must agree within the repo bar (1e-3 normalized) on a
+    # downscaled workload, so every driver bench run also validates the
+    # TPU-only kernel codepaths. Small image/splat count keeps this a few
+    # seconds of compile.
+    if jax.default_backend() == "tpu":
+        pcam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, 320, 240)
+        psub = jax.tree.map(lambda x: x[:20_000], state)
+        pcfg_p = dataclasses.replace(
+            rcfg, backend="pallas", intersection_budget=0,
+            min_intersections=131072, max_per_tile=512,
+        )
+        pcfg_x = dataclasses.replace(pcfg_p, backend="xla")
+        pgt = jnp.asarray(rng.uniform(0, 1, (240, 320, 3)).astype(np.float32))
+
+        def parity(cfg):
+            def loss_fn(params):
+                out = render(pcam, psub.with_params(params), bg, 3, cfg)
+                return losses.l1_loss(out.render, pgt), out.render
+            (l, img), g = jax.jit(
+                jax.value_and_grad(loss_fn, has_aux=True)
+            )(psub.params())
+            return img, g
+
+        img_p, g_p = parity(pcfg_p)
+        img_x, g_x = parity(pcfg_x)
+        img_err = float(jnp.abs(img_p - img_x).max())
+        assert img_err < 3e-4, f"pallas/xla image mismatch: {img_err}"
+        for k in g_x:
+            scale = float(jnp.abs(g_x[k]).max()) or 1.0
+            err = float(jnp.abs(g_p[k] - g_x[k]).max()) / scale
+            assert err < 1e-3, f"pallas/xla grad mismatch {k}: {err}"
+        print(f"# pallas-vs-xla parity ok (img {img_err:.2e})", flush=True)
+
     # warmup / compile
     loss, grads = fwd_bwd(state)
     jax.block_until_ready((loss, grads))

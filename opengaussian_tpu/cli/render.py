@@ -67,6 +67,7 @@ def main(argv=None):
     p.add_argument("--source_path", "-s", required=True)
     p.add_argument("--iteration", type=int, default=-1)
     p.add_argument("--resolution", "-r", type=int, default=-1)
+    p.add_argument("--images", default="images")
     p.add_argument("--white_background", "-w", action="store_true")
     p.add_argument("--eval", action="store_true", default=True)
     p.add_argument("--sam_level", type=int, default=3)
@@ -74,7 +75,8 @@ def main(argv=None):
     p.add_argument("--skip_test", action="store_true")
     args = p.parse_args(argv)
 
-    scene = load_scene(args.source_path, white_background=args.white_background,
+    scene = load_scene(args.source_path, images=args.images,
+                       white_background=args.white_background,
                        eval_split=args.eval, resolution=args.resolution)
     state, kms, it = load_model(args.model_path, args.iteration)
     bg = jnp.asarray([1.0, 1.0, 1.0] if args.white_background else [0.0, 0.0, 0.0])

@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh", type=int, default=0, metavar="N",
                    help="shard training over N devices (0 = single device)")
+    p.add_argument("--port", type=int, default=0,
+                   help="SIBR remote-viewer TCP port (0 = viewer off, like "
+                        "the reference's disabled network_gui)")
+    p.add_argument("--disable_intermediate_dumps", action="store_true",
+                   help="skip the periodic train_process/ PNG dumps")
     return p
 
 
@@ -116,6 +121,10 @@ def main(argv=None):
         mesh = make_mesh(args.mesh)
         print(f"Sharding over {args.mesh} devices: {mesh}", flush=True)
     tr = Trainer(scene, cfg, out_dir, seed=args.seed, mesh=mesh)
+    if args.port:
+        tr.viewer_port = args.port
+    if args.disable_intermediate_dumps:
+        tr.save_intermediate = False
     if args.start_checkpoint:
         tr.restore_checkpoint(args.start_checkpoint)
         print(f"Resumed from {args.start_checkpoint} at iteration {tr.iteration}")
