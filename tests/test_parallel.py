@@ -375,3 +375,20 @@ def test_sharded_kmeans_leaf_matches_single_device_semantics():
     assert set(np.unique(a)) | set(np.unique(b)) <= {0, 1}
     assert np.unique(a).size == 1 and np.unique(b).size == 1
     assert a[0] != b[0]
+
+
+def test_scaling_bench_virtual_mesh():
+    """The 1->N scaling harness runs on the virtual CPU mesh and reports
+    sane numbers (BASELINE.md north star: 1 chip -> 1 host -> N hosts)."""
+    from opengaussian_tpu.parallel.distributed import (
+        init_distributed,
+        scaling_bench,
+    )
+
+    assert init_distributed() is False  # single-process: no-op
+    rows = scaling_bench(sizes=[1, 2], width=64, height=48, n_gauss=256,
+                         iters=2)
+    assert [r["devices"] for r in rows] == [1, 2]
+    for r in rows:
+        assert r["ms_per_step"] > 0 and np.isfinite(r["mpix_s"])
+    assert rows[0]["efficiency"] == 1.0
