@@ -54,6 +54,11 @@ class RasterizeConfig:
     # opacity-aware cutoff radius (pixel-exact, touches fewer tiles than the
     # classic 3-sigma rect; radii outputs shrink for translucent splats)
     tight_radius: bool = True
+    # Pallas input layout: "stream" = kernels DMA each tile's run straight
+    # out of the sorted slot stream (no dense [T, K] matrix, no dense
+    # gather/scatter in binning); "dense" = the round-1 [T, K, F] BlockSpec
+    # staging (always used for vmapped group renders)
+    pallas_input: str = "stream"
 
     def max_intersections(self, n: int) -> int:
         if self.intersection_budget:
@@ -248,13 +253,18 @@ class RasterOut:
 
 
 def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
-             tile_lo: int = 0, tile_hi: int | None = None):
+             tile_lo: int = 0, tile_hi: int | None = None,
+             force_dense: bool = False):
     grid_x = (camera.width + TILE - 1) // TILE
     grid_y = (camera.height + TILE - 1) // TILE
     proj: Projected = project(
         means3d, cov3d, camera, screen_tap=screen_tap,
         opacities=opacities if config.tight_radius else None,
     )
+    # the Pallas kernels consume the sorted stream directly; the XLA scan
+    # blend and vmapped group renders need the dense [T, K] matrix
+    use_stream = (config.use_pallas() and not force_dense
+                  and config.pallas_input == "stream")
     bins: TileBins = bin_gaussians(
         proj,
         grid_x,
@@ -263,6 +273,8 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
         config.max_per_tile,
         tile_lo=tile_lo,
         tile_hi=tile_hi,
+        dense=not use_stream,
+        stream=use_stream,
     )
     lo = tile_lo
     hi = grid_x * grid_y if tile_hi is None else tile_hi
@@ -282,7 +294,29 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
     H, W = camera.height, camera.width
     opac = jnp.where(proj.valid, opacities, 0.0)
     full_payload = jnp.concatenate([payload, proj.depth[:, None]], axis=-1)
-    if config.use_pallas():
+    if config.use_pallas() and bins.sorted_gauss is not None:
+        from opengaussian_tpu.ops.rasterize_pallas import (
+            blend_tiles_pallas_stream,
+        )
+
+        n = proj.mean2d.shape[0]
+        n_band = bins.counts.shape[0]
+        max_chunks = config.max_intersections(n) // config.chunk + n_band
+        accum, t_final = blend_tiles_pallas_stream(
+            proj.mean2d,
+            proj.conic,
+            opac,
+            full_payload,
+            bins.sorted_gauss,
+            bins.tile_start,
+            bins.counts,
+            jnp.asarray([tile_lo], jnp.int32),
+            config.chunk,
+            grid_x,
+            max_chunks,
+            config.max_per_tile,
+        )
+    elif config.use_pallas():
         from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
         n = proj.mean2d.shape[0]
@@ -427,8 +461,12 @@ def rasterize_groups(
 
     Returns RasterOut with leading group axis on image/alpha/depth.
     """
+    # force the dense [T, K] layout: group renders vmap the blend over
+    # per-group opacities, and vmapping the stream kernel's manual DMAs is
+    # not supported — the dense BlockSpec path batches fine
     proj, bins, pix, grids = _prepare(
-        camera, means3d, cov3d, config, None, jnp.max(opacities, axis=0)
+        camera, means3d, cov3d, config, None, jnp.max(opacities, axis=0),
+        force_dense=True,
     )
     comp = jax.vmap(
         lambda op: _composite(camera, proj, bins, pix, grids, op, payload, bg, config)

@@ -48,6 +48,13 @@ from opengaussian_tpu.ops.projection import TILE
 NPIX = TILE * TILE  # 256 pixels per tile
 
 
+# Exclusive cumprod via MXU log-space matmul: measured ~neutral on the step
+# time AND the exp/log round trip near the T_EPS/ALPHA_MIN thresholds costs
+# 3 orders of magnitude of pallas-vs-XLA parity (2e-3 vs 1e-6 image error on
+# chip, threshold flips) — keep the exact shift-doubling product.
+LOG_CUMPROD = False
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -84,6 +91,24 @@ def _chunk_blend_math(g, cnt, c, chunk, px, py, tvec, done):
 
     tvec/done are [1, NPIX] loop-carried values (running transmittance and
     permanent early-stop flag).
+
+    Early-stop bookkeeping exploits two invariants of the blend semantics
+    (ops/blend.py): (a) the incoming transmittance is always >= T_EPS — the
+    frozen value is T *before* the first crossing, which by definition of a
+    first crossing is >= T_EPS — and (b) t_seq is monotone non-increasing
+    within the chunk. Hence "a crossing happened at or before slot k" is
+    exactly `t_seq_k < T_EPS`, which kills the cumulative-sum / one-hot
+    first-failure machinery of the naive formulation (~25 VPU ops per chunk):
+
+      * contrib_k = active_k & (t_seq_k >= eps) & ~done — a slot composites
+        iff no crossing at or before it (fail_before_k ⇒ t_prev_k <= the
+        crossing's t_seq < eps ⇒ t_seq_k < eps; fail_k ⇒ t_seq_k < eps; and
+        conversely an active slot with t_seq_k < eps is fail or fail_before);
+      * the new T = min over live slots of t_seq (monotonicity makes the
+        product over pre-crossing factors equal the last live t_seq), with
+        t_in as the empty-reduction default (crossing at slot 0);
+      * a crossing occurred in this chunk ⟺ t_seq[-1] < eps (monotonicity +
+        t_in >= eps).
     """
     mean_x = g[:, 0:1]
     mean_y = g[:, 1:2]
@@ -102,36 +127,52 @@ def _chunk_blend_math(g, cnt, c, chunk, px, py, tvec, done):
     a = jnp.where((a >= blend.ALPHA_MIN) & kmask, a, 0.0)
 
     factors = 1.0 - a
-    cum = _cumulative(factors, jnp.multiply)  # inclusive cumprod
-    excl = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) == 0,
-        1.0,
-        _roll(cum, 1, axis=0),
-    )
-    t_in = tvec
-    t_prev = t_in * excl
+    if LOG_CUMPROD:
+        # exclusive cumprod as one strictly-lower-triangular MXU contraction
+        # in log space: factors >= 1 - ALPHA_MAX = 0.01 so log is safe, and
+        # the exp/log round trip (~1e-6 rel) is far inside the grad parity
+        # bar. Saves ~15 VPU ops vs the shift-doubling product.
+        kc = factors.shape[0]
+        tri = jnp.tril(jnp.ones((kc, kc), jnp.float32), -1)
+        excl = jnp.exp(jax.lax.dot_general(
+            tri, jnp.log(factors), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # bf16 passes break parity
+        ))
+    else:
+        cum = _cumulative(factors, jnp.multiply)  # inclusive cumprod
+        excl = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) == 0,
+            1.0,
+            _roll(cum, 1, axis=0),
+        )
+    t_prev = tvec * excl
     t_seq = t_prev * factors
-    active = a > 0.0
-    fail = active & (t_seq < blend.T_EPS)
-    fail_cum = _cumulative(fail.astype(jnp.float32), jnp.add)
-    fail_before = (fail_cum - fail.astype(jnp.float32)) > 0.0
-    done_b = (done > 0.0) | fail_before
-    contrib = active & ~done_b & ~fail
-    w = jnp.where(contrib, a * t_prev, 0.0)
+    live = t_seq >= blend.T_EPS  # no crossing at or before this slot
+    # the done carry is folded in multiplicatively (done is exactly 0/1):
+    # boolean ops against the [1, NPIX] carry hit an unimplemented Mosaic
+    # sublane broadcast, mul broadcasts are supported
+    contrib = (a > 0.0) & live
+    not_done = 1.0 - done
+    w = jnp.where(contrib, a * t_prev, 0.0) * not_done
 
-    any_fail = jnp.max(fail.astype(jnp.float32), axis=0, keepdims=True)
-    first_fail = fail & ~fail_before
-    t_freeze = jnp.sum(jnp.where(first_fail, t_prev, 0.0), axis=0, keepdims=True)
-    t_last = t_seq[-1:, :]
-    new_t = jnp.where(
-        done > 0.0,
-        t_in,
-        jnp.where(any_fail > 0.0, t_freeze, t_last),
+    # Non-live slots use a 2.0 sentinel (> any transmittance) so the reduce
+    # ignores them; clamping with tvec afterwards handles the all-non-live
+    # case. (Folding tvec into the selected values instead needs a Mosaic
+    # sublane broadcast of the [1, NPIX] carry, which is unimplemented.)
+    t_next = jnp.minimum(
+        jnp.min(jnp.where(live, t_seq, 2.0), axis=0, keepdims=True), tvec
     )
+    new_t = jnp.where(done > 0.0, tvec, t_next)
+    # crossing in this chunk <=> min(t_seq) < eps (monotone, so min == last;
+    # a [-1:] slice here trips a Mosaic compiler crash, the reduce is fine)
+    any_fail = (
+        jnp.min(t_seq, axis=0, keepdims=True) < blend.T_EPS
+    ).astype(jnp.float32)
     new_done = jnp.maximum(done, any_fail)
     return dict(
         a=a, araw=araw, gauss=gauss, w=w, t_prev=t_prev, contrib=contrib,
-        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, opac=opac,
+        not_done=not_done, dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, opac=opac,
         new_t=new_t, new_done=new_done,
     )
 
@@ -266,6 +307,9 @@ def _bwd_tile(counts_ref, toff_ref, gdata_ref, gacc_ref, gt_ref, tfin_ref,
             preferred_element_type=jnp.float32,
         )  # [Kc, NPIX]
         u = m["w"] * gc
+        # exact shift-doubling cumsum: an MXU triangular matmul needs
+        # Precision.HIGHEST for parity (default bf16 passes lose 3 digits)
+        # and the 6-pass f32 emulation measures ~10 ms/step SLOWER
         b_inc = bacc + _cumulative(u, jnp.add)
         one_m_a = jnp.maximum(1.0 - m["a"], 1.0 - blend.ALPHA_MAX)
         d_alpha = jnp.where(
@@ -274,7 +318,7 @@ def _bwd_tile(counts_ref, toff_ref, gdata_ref, gacc_ref, gt_ref, tfin_ref,
             - (ga_total - b_inc) / one_m_a
             - (g_t * t_final) / one_m_a,
             0.0,
-        )
+        ) * m["not_done"]  # early-stopped pixels contribute no gradient
         # alpha saturation: min(0.99, .) kills the gradient when clamped
         not_clamped = (m["araw"] < blend.ALPHA_MAX).astype(jnp.float32)
         d_alpha = d_alpha * not_clamped
@@ -296,7 +340,7 @@ def _bwd_tile(counts_ref, toff_ref, gdata_ref, gacc_ref, gt_ref, tfin_ref,
             [d_mx, d_my, d_ca, d_cb, d_cc, d_o, d_pay], axis=1
         )
 
-        bacc = bacc + jnp.sum(u, axis=0, keepdims=True)
+        bacc = b_inc[-1:, :]  # == bacc + sum(u): the cumsum's last row
         return (c + 1, bacc, m["new_t"], m["new_done"])
 
     carry0 = (
@@ -344,6 +388,354 @@ def blend_tiles_pallas_bwd(gdata, counts, accum, t_final, g_accum, g_t,
         interpret=_use_interpret(),
     )(counts, tile_offset, gdata, g_accum, g_t[:, None, :], t_final[:, None, :],
       ga_total[:, None, :])
+
+
+# ---------------------------------------------------------------------------
+# stream-input kernels: each tile's depth run is DMA'd straight out of the
+# (tile, depth)-sorted slot stream — there is no dense [T, K] index matrix,
+# no [T, K, F] XLA row-gather, and no dense scatter in binning (the three
+# together measured ~16 ms/step at the bench workload on v5e). The rows for
+# grid step s+1's tiles are prefetched into the other half of a
+# double-buffered VMEM scratch while step s computes, so the HBM reads ride
+# the same pipeline the BlockSpec path used.
+# ---------------------------------------------------------------------------
+
+
+# Mosaic DMA slices need the minor dim to be a 128-lane multiple (dynamic
+# ROW offsets are unrestricted — probed on v5e), so stream rows are padded
+# to LANES floats. The kernels only touch columns [0, 6+C).
+LANES = 128
+
+
+def _stream_issue(stream_ref, tstart_ref, scratch, sems, step, buf, K,
+                  n_tiles):
+    for gi in range(GROUP):
+        t = step * GROUP + gi
+        off = tstart_ref[jnp.minimum(t, n_tiles - 1)]
+        pltpu.make_async_copy(
+            stream_ref.at[pl.ds(off, K), :],
+            scratch.at[buf, gi],
+            sems.at[buf, gi],
+        ).start()
+
+
+def _stream_wait(stream_ref, tstart_ref, scratch, sems, step, buf, gi, K,
+                 n_tiles):
+    t = step * GROUP + gi
+    off = tstart_ref[jnp.minimum(t, n_tiles - 1)]
+    pltpu.make_async_copy(
+        stream_ref.at[pl.ds(off, K), :],
+        scratch.at[buf, gi],
+        sems.at[buf, gi],
+    ).wait()
+
+
+def _fwd_stream_kernel(counts_ref, tstart_ref, toff_ref, stream_ref, acc_out,
+                       t_out, scratch, sems, *, chunk, grid_x, C, K, n_tiles):
+    s = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles)
+
+    @pl.when(s + 1 < nsteps)
+    def _():
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, s + 1,
+                      (s + 1) % 2, K, n_tiles)
+
+    buf = s % 2
+    for gi in range(GROUP):  # static unroll over the tile group
+        _stream_wait(stream_ref, tstart_ref, scratch, sems, s, buf, gi, K,
+                     n_tiles)
+        t = s * GROUP + gi
+        live = t < n_tiles
+        cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
+        nc = _nchunks(cnt, chunk)
+        px, py = _pixels(t + toff_ref[0], grid_x)
+
+        def cond(carry):
+            c, _, _, done = carry
+            return (c < nc) & (jnp.min(done) < 0.5)
+
+        def body(carry):
+            c, acc, tvec, done = carry
+            g = scratch[buf, gi, pl.ds(c * chunk, chunk), :]  # [Kc, LANES]
+            m = _chunk_blend_math(g, cnt, c, chunk, px, py, tvec, done)
+            pay = g[:, 6:6 + C]
+            acc = acc + jax.lax.dot_general(
+                pay, m["w"], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (c + 1, acc, m["new_t"], m["new_done"])
+
+        carry0 = (
+            jnp.int32(0),
+            jnp.zeros((C, NPIX), jnp.float32),
+            jnp.ones((1, NPIX), jnp.float32),
+            jnp.zeros((1, NPIX), jnp.float32),
+        )
+        _, acc, tvec, _ = jax.lax.while_loop(cond, body, carry0)
+        acc_out[gi] = acc
+        t_out[gi] = tvec
+
+
+def blend_stream_pallas_fwd(rows, counts, tstart, grid_x: int, chunk: int,
+                            K: int, n_fields: int, tile_offset=None):
+    """rows [Ppad, LANES] sorted-stream splat rows (columns [0, n_fields) =
+    mean2d(2) + conic(3) + opac(1) + payload(C) + splat_id(1), rest zero
+    padding), counts [T], tstart [T] -> (accum [T, C, NPIX],
+    t_final [T, NPIX])."""
+    T = counts.shape[0]
+    C = n_fields - 7
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    kern = functools.partial(_fwd_stream_kernel, chunk=chunk, grid_x=grid_x,
+                             C=C, K=K, n_tiles=T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=((T + GROUP - 1) // GROUP,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((GROUP, C, NPIX), lambda t, c, ts, to: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 1, NPIX), lambda t, c, ts, to: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+        ],
+    )
+    acc, t_final = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, C, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, NPIX), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(counts, tstart, tile_offset, rows)
+    return acc, t_final[:, 0, :]
+
+
+def _bwd_stream_kernel(counts_ref, tstart_ref, toff_ref, stream_ref, gacc_ref,
+                       gt_ref, tfin_ref, gatot_ref, dslot_out, scratch, sems,
+                       *, chunk, grid_x, C, K, n_tiles):
+    s = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles)
+
+    @pl.when(s + 1 < nsteps)
+    def _():
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, s + 1,
+                      (s + 1) % 2, K, n_tiles)
+
+    dslot_out[...] = jnp.zeros(dslot_out.shape, dslot_out.dtype)
+    buf = s % 2
+    for gi in range(GROUP):
+        _stream_wait(stream_ref, tstart_ref, scratch, sems, s, buf, gi, K,
+                     n_tiles)
+        t = s * GROUP + gi
+        live = t < n_tiles
+        cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
+        nc = _nchunks(cnt, chunk)
+        px, py = _pixels(t + toff_ref[0], grid_x)
+
+        gacc = gacc_ref[gi]  # [C, NPIX]
+        g_t = gt_ref[gi, 0:1, :]
+        t_final = tfin_ref[gi, 0:1, :]
+        ga_total = gatot_ref[gi, 0:1, :]
+
+        def cond(carry):
+            c, _, _, done = carry
+            return (c < nc) & (jnp.min(done) < 0.5)
+
+        def body(carry):
+            c, bacc, tvec, done = carry
+            g = scratch[buf, gi, pl.ds(c * chunk, chunk), :]
+            m = _chunk_blend_math(g, cnt, c, chunk, px, py, tvec, done)
+            pay = g[:, 6:6 + C]
+            gc = jax.lax.dot_general(
+                pay, gacc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            u = m["w"] * gc
+            # exact shift-doubling cumsum (see _bwd_tile for why not MXU)
+            b_inc = bacc + _cumulative(u, jnp.add)
+            one_m_a = jnp.maximum(1.0 - m["a"], 1.0 - blend.ALPHA_MAX)
+            d_alpha = jnp.where(
+                m["contrib"],
+                m["t_prev"] * gc
+                - (ga_total - b_inc) / one_m_a
+                - (g_t * t_final) / one_m_a,
+                0.0,
+            ) * m["not_done"]
+            not_clamped = (m["araw"] < blend.ALPHA_MAX).astype(jnp.float32)
+            d_alpha = d_alpha * not_clamped
+
+            d_power = m["a"] * d_alpha
+            dx, dy = m["dx"], m["dy"]
+            ca, cb, cc = m["ca"], m["cb"], m["cc"]
+            d_mx = jnp.sum(d_power * -(ca * dx + cb * dy), axis=1, keepdims=True)
+            d_my = jnp.sum(d_power * -(cc * dy + cb * dx), axis=1, keepdims=True)
+            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+            d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
+            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+            d_o = jnp.sum(d_alpha * m["gauss"], axis=1, keepdims=True)
+            d_pay = jax.lax.dot_general(
+                m["w"], gacc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # last column: the splat id, passed through so the reduction
+            # reads ids from the gradient rows themselves
+            dslot_out[gi, pl.ds(c * chunk, chunk), :] = jnp.concatenate(
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_o, d_pay,
+                 g[:, 6 + C:7 + C]], axis=1
+            )
+            bacc = b_inc[-1:, :]
+            return (c + 1, bacc, m["new_t"], m["new_done"])
+
+        carry0 = (
+            jnp.int32(0),
+            jnp.zeros((1, NPIX), jnp.float32),
+            jnp.ones((1, NPIX), jnp.float32),
+            jnp.zeros((1, NPIX), jnp.float32),
+        )
+        jax.lax.while_loop(cond, body, carry0)
+
+
+def blend_stream_pallas_bwd(rows, counts, tstart, accum, t_final, g_accum,
+                            g_t, grid_x: int, chunk: int, K: int,
+                            n_fields: int, tile_offset=None):
+    """-> d_slot [T, K, n_fields] dense per-slot gradients + id column."""
+    T = counts.shape[0]
+    F = n_fields
+    C = F - 7
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    ga_total = jnp.sum(g_accum * accum, axis=1)  # [T, NPIX]
+    kern = functools.partial(_bwd_stream_kernel, chunk=chunk, grid_x=grid_x,
+                             C=C, K=K, n_tiles=T)
+    bspec = lambda shape: pl.BlockSpec(shape, lambda t, c, ts, to: (t, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=((T + GROUP - 1) // GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            bspec((GROUP, C, NPIX)),
+            bspec((GROUP, 1, NPIX)),
+            bspec((GROUP, 1, NPIX)),
+            bspec((GROUP, 1, NPIX)),
+        ],
+        out_specs=pl.BlockSpec((GROUP, K, F), lambda t, c, ts, to: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((T, K, F), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(counts, tstart, tile_offset, rows, g_accum, g_t[:, None, :],
+      t_final[:, None, :], ga_total[:, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def blend_tiles_pallas_stream(mean2d, conic, opac, payload, stream_ids,
+                              tstart, counts, tile_offset, chunk, grid_x,
+                              max_chunks, max_per_tile):
+    out, _ = _stream_fwd(mean2d, conic, opac, payload, stream_ids, tstart,
+                         counts, tile_offset, chunk, grid_x, max_chunks,
+                         max_per_tile)
+    return out
+
+
+def _stream_fwd(mean2d, conic, opac, payload, stream_ids, tstart, counts,
+                tile_offset, chunk, grid_x, max_chunks, max_per_tile):
+    n = payload.shape[0]
+    # The splat INDEX rides the stream as one extra f32 column (exact below
+    # 2^24): the backward writes it through to d_slot, so the per-splat
+    # reduction reads ids from the same row-take that fetches the gradient
+    # rows — an explicit [NC, chunk] window gather of the id stream lowers
+    # to a per-element XLA gather and costs ~10 ms/step on v5e.
+    assert n < 2**24, "stream kernel id column is exact f32 only below 2^24"
+    table = jnp.concatenate(
+        [mean2d, conic, opac[:, None], payload,
+         jnp.arange(n, dtype=jnp.float32)[:, None]], axis=-1
+    )  # [N, f] with f = 6 + C + 1
+    f = table.shape[1]
+    # lane-pad the rows (DMA slices need a 128-multiple minor dim) and add
+    # K rows of zero padding: windows of empty tail tiles read [P, P+K)
+    table = jnp.pad(table, ((0, 0), (0, LANES - f)))
+    rows = table[stream_ids]  # [P, LANES] — the ONLY gather on this path
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((max_per_tile, LANES), rows.dtype)], axis=0
+    )
+    acc, t_final = blend_stream_pallas_fwd(rows, counts, tstart, grid_x,
+                                           chunk, max_per_tile, f,
+                                           tile_offset)
+    accum = jnp.swapaxes(acc, 1, 2)  # [T, NPIX, C]
+    res = (rows, tstart, counts, tile_offset, acc, t_final, n, f)
+    return (accum, t_final), res
+
+
+def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, res, cts):
+    rows, tstart, counts, tile_offset, acc, t_final, n, f = res
+    T = counts.shape[0]
+    K = max_per_tile
+    F = f  # logical fields in d_slot (rows are lane-padded to LANES)
+    ncpt = K // chunk
+    g_accum, g_t = cts  # [T, NPIX, C], [T, NPIX]
+    g_acc = jnp.swapaxes(g_accum, 1, 2)
+    d_slot = blend_stream_pallas_bwd(
+        rows, counts, tstart, acc, t_final, g_acc, g_t, grid_x, chunk, K, f,
+        tile_offset,
+    )  # [T, K, F]
+
+    # per-splat reduction over live chunks (see _pallas_bwd for the layout
+    # rationale); splat ids come straight from the sorted stream windows
+    NC = max_chunks
+    nchunks = (counts + chunk - 1) // chunk
+    chunk_base = jnp.cumsum(nchunks) - nchunks
+    total_chunks = jnp.sum(nchunks)
+
+    t_ids1 = jnp.where(nchunks > 0, jnp.arange(T, dtype=jnp.int32) + 1, 0)
+    base_clip = jnp.minimum(chunk_base, NC - 1)
+    marks = jnp.zeros((NC,), jnp.int32).at[base_clip].max(t_ids1)
+    tile_of = jax.lax.cummax(marks) - 1
+    pchunk = jnp.arange(NC, dtype=jnp.int32)
+    live = (pchunk < total_chunks) & (tile_of >= 0)
+    tile_safe = jnp.maximum(tile_of, 0)
+    i_of = pchunk - chunk_base[tile_safe]
+    dense_chunk = jnp.minimum(tile_safe * ncpt + i_of, T * ncpt - 1)
+    rows_g = jnp.take(
+        d_slot.reshape(T * ncpt, chunk, F), dense_chunk, axis=0
+    ).reshape(NC * chunk, F)
+    # ids come from the pass-through column of the gradient rows; dead
+    # CHUNKS alias real rows (clamped gather) and must still be dropped
+    ids = rows_g[:, F - 1].astype(jnp.int32).reshape(NC, chunk)
+    ids = jnp.where(live[:, None], ids, n).reshape(-1)
+    per_gauss = jax.ops.segment_sum(rows_g, ids, num_segments=n)
+
+    d_mean2d = per_gauss[:, 0:2]
+    d_conic = per_gauss[:, 2:5]
+    d_opac = per_gauss[:, 5]
+    d_payload = per_gauss[:, 6:F - 1]
+    zero_i = lambda s: np.zeros(s, jax.dtypes.float0)
+    return (d_mean2d, d_conic, d_opac, d_payload,
+            zero_i((rows.shape[0] - K,)), zero_i(tstart.shape),
+            zero_i(counts.shape), zero_i(tile_offset.shape))
+
+
+blend_tiles_pallas_stream.defvjp(_stream_fwd, _stream_bwd)
 
 
 # ---------------------------------------------------------------------------

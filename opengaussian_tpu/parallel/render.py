@@ -88,15 +88,14 @@ def render_sharded(
         )
         radii_local = proj.radius
         proj, pay_f, opac_f = _gather_proj(proj, pay, opac, axis)
+        use_stream = config.use_pallas() and config.pallas_input == "stream"
+        P_budget = config.max_intersections(n_total)
         bins = bin_gaussians(
-            proj, grid_x, grid_y,
-            config.max_intersections(n_total), config.max_per_tile,
+            proj, grid_x, grid_y, P_budget, config.max_per_tile,
+            dense=not use_stream, stream=use_stream,
         )
         tl = Tp // nd
         t0 = r * tl
-        idx = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(bins.gauss_idx, ((0, Tp - T), (0, 0))), t0, tl, axis=0
-        )
         counts = jax.lax.dynamic_slice_in_dim(
             jnp.pad(bins.counts, (0, Tp - T)), t0, tl, axis=0
         )
@@ -106,17 +105,39 @@ def render_sharded(
         )
         opac_m = jnp.where(proj.valid, opac_f, 0.0)
         full_pay = jnp.concatenate([pay_f, proj.depth[:, None]], axis=-1)
-        if config.use_pallas():
+        if use_stream:
+            from opengaussian_tpu.ops.rasterize_pallas import (
+                blend_tiles_pallas_stream,
+            )
+
+            # padded tail tiles point at the stream end: count 0, reads land
+            # in the kernel's zero padding
+            tstart = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(bins.tile_start, (0, Tp - T),
+                        constant_values=P_budget),
+                t0, tl, axis=0,
+            )
+            max_chunks = P_budget // config.chunk + tl
+            accum, t_final = blend_tiles_pallas_stream(
+                proj.mean2d, proj.conic, opac_m, full_pay, bins.sorted_gauss,
+                tstart, counts, t0[None].astype(jnp.int32), config.chunk,
+                grid_x, max_chunks, config.max_per_tile,
+            )
+        elif config.use_pallas():
             from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
-            max_chunks = (
-                config.max_intersections(n_total) // config.chunk + tl
+            idx = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(bins.gauss_idx, ((0, Tp - T), (0, 0))), t0, tl, axis=0
             )
+            max_chunks = P_budget // config.chunk + tl
             accum, t_final = blend_tiles_pallas(
                 proj.mean2d, proj.conic, opac_m, full_pay, idx, counts,
                 t0[None].astype(jnp.int32), config.chunk, grid_x, max_chunks,
             )
         else:
+            idx = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(bins.gauss_idx, ((0, Tp - T), (0, 0))), t0, tl, axis=0
+            )
             accum, t_final = _blend_tiles(
                 proj.mean2d, proj.conic, opac_m, full_pay, idx, counts, pix,
                 config.chunk,

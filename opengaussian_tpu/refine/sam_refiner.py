@@ -68,7 +68,9 @@ def splat_id_votes(
            visible [N] bool depth-tested visibility)."""
     n = gs.capacity
     cov3d = build_cov3d(gs.scales, gs.quats)
-    proj, bins, pix, (grid_x, grid_y) = _prepare(camera, gs.means, cov3d, config, None)
+    proj, bins, pix, (grid_x, grid_y) = _prepare(
+        camera, gs.means, cov3d, config, None, force_dense=True
+    )
 
     # stage-0 visibility: in frustum + depth agreement at the projected center
     H, W = camera.height, camera.width
@@ -115,7 +117,9 @@ def pixel_weight_accumulation(
     """Stage-2 accumulation: -> weights [H, W, M] = sum over visible splats
     of footprint alpha onto their global id."""
     cov3d = build_cov3d(gs.scales, gs.quats)
-    proj, bins, pix, (grid_x, grid_y) = _prepare(camera, gs.means, cov3d, config, None)
+    proj, bins, pix, (grid_x, grid_y) = _prepare(
+        camera, gs.means, cov3d, config, None, force_dense=True
+    )
     opac = jnp.where(proj.valid & gs.alive & visible & (splat_global_id > 0),
                      gs.opacity, 0.0)
     gid_onehot_table = splat_global_id  # gathered per chunk below
