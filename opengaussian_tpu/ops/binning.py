@@ -42,12 +42,15 @@ class TileBins(NamedTuple):
     # run in the sorted stream (stream layout for the Pallas kernels)
     sorted_gauss: jnp.ndarray | None = None  # [P] int32 splat index per
     # sorted slot ((tile, depth) order; tiles are contiguous runs)
+    sorted_carry: tuple | None = None  # tuple of [P] f32 columns: the
+    # caller's `carry` table columns in sorted-slot order (see below)
 
 
 def bin_gaussians(
     proj: Projected, grid_x: int, grid_y: int, max_intersections: int,
     max_per_tile: int, tile_lo: int = 0, tile_hi: int | None = None,
     dense: bool = True, stream: bool = False,
+    carry: jnp.ndarray | None = None,
 ) -> TileBins:
     """tile_lo/tile_hi restrict the per-tile outputs (gauss_idx, counts,
     tile_start) to the tile range [tile_lo, tile_hi) — used by banded
@@ -59,7 +62,15 @@ def bin_gaussians(
     the sorted stream itself (sorted_gauss + tile_start) for the Pallas
     kernels, which DMA each tile's contiguous run directly — skipping both
     the dense scatter (~6.3 ms at 850k slots on v5e) and the [T, K, F]
-    row-gather (~10 ms) of the dense formulation."""
+    row-gather (~10 ms) of the dense formulation.
+
+    carry [N, D] f32: per-splat columns to deliver in SORTED-slot order
+    (returned as TileBins.sorted_carry, a tuple of D [P] vectors). They ride
+    the expansion-order pack gather (sorted indices, ~6x cheaper than a
+    post-sort random-row gather on v5e) and the lax.sort value list (the TPU
+    sort's cost is dominated by the key, ~2 ms at 850k regardless of payload
+    width). This is how the blend kernels get their per-slot rows without
+    any random gather."""
     num_tiles = grid_x * grid_y
     if tile_hi is None:
         tile_hi = num_tiles
@@ -113,16 +124,23 @@ def bin_gaussians(
         ],
         axis=-1,
     )  # [N, 8]
-    pk = pack[g_safe]  # [P, 8]
+    if carry is not None:
+        pack = jnp.concatenate([pack, carry], axis=-1)  # [N, 8 + D]
+    pk = pack[g_safe]  # [P, 8 (+ D)] — expansion order: indices ascend
+    # ONE transpose to [8, P] so every lane below is a CONTIGUOUS [P] vector:
+    # column slices of the (8,128)-tiled [P, 8] layout are strided reads the
+    # XLA cost model prices at ~5 ms per consumer fusion at P=850k (~14 ms
+    # of the binning total); the single relayout replaces them all.
+    pkT = jax.lax.optimization_barrier(pk.T)  # [8, P], forced materialized
     if exact_f32:
-        starts_slot = pk[:, 0].astype(jnp.int32)
-        rank_slot = pk[:, 4].astype(jnp.int32)
+        starts_slot = pkT[0].astype(jnp.int32)
+        rank_slot = pkT[4].astype(jnp.int32)
     else:
         ipack = jnp.stack([starts, rank], axis=-1)[g_safe]  # [P, 2] int32
         starts_slot = ipack[:, 0]
         rank_slot = ipack[:, 1]
     r = (slot - starts_slot).astype(jnp.float32)
-    w = pk[:, 3]
+    w = pkT[3]
     # exact integer div/mod via f32 reciprocal + one correction step —
     # s32 div/mod lower to a slow scalar sequence on the VPU (measured
     # ~15 ms per 1.6M-element fusion, vs ~2 ms for this).
@@ -130,8 +148,8 @@ def bin_gaussians(
     rem = r - q * w
     q = q + (rem >= w).astype(jnp.float32) - (rem < 0).astype(jnp.float32)
     rem = r - q * w
-    tx = (pk[:, 1] + rem).astype(jnp.int32)
-    ty = (pk[:, 2] + q).astype(jnp.int32)
+    tx = (pkT[1] + rem).astype(jnp.int32)
+    ty = (pkT[2] + q).astype(jnp.int32)
 
     # Exact circle-tile cull: the splat's cutoff radius (opacity-aware when
     # tight_radius is on) already guarantees alpha < 1/255 beyond it, so a
@@ -140,34 +158,43 @@ def bin_gaussians(
     # ~20% of its slots on such corner tiles. Distances to pixel centers are
     # >= distances to the tile rect, so the test is conservative-exact.
     TILE_F = float(TILE)
-    cx = pk[:, 5]
-    cy = pk[:, 6]
+    cx = pkT[5]
+    cy = pkT[6]
     nx = jnp.clip(cx, tx.astype(jnp.float32) * TILE_F,
                   tx.astype(jnp.float32) * TILE_F + (TILE_F - 1.0))
     ny = jnp.clip(cy, ty.astype(jnp.float32) * TILE_F,
                   ty.astype(jnp.float32) * TILE_F + (TILE_F - 1.0))
-    rad = pk[:, 7]
+    rad = pkT[7]
     hits = (cx - nx) ** 2 + (cy - ny) ** 2 <= rad * rad
     tile_id = jnp.where(slot_valid & hits, ty * grid_x + tx, num_tiles)
 
+    # the caller's carry columns ride the sort as extra values (the TPU sort
+    # cost is key-dominated; see `carry` in the docstring)
+    carry_exp = tuple(pkT[8:]) if carry is not None else ()
     bits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
     bits_rank = max(int(np.ceil(np.log2(n + 1))), 1)
     if bits_tile + bits_rank <= 31:
         key = (tile_id << bits_rank) | rank_slot
-        key_s, g_sorted = jax.lax.sort(
-            (key, g_safe.astype(jnp.int32)), num_keys=1, is_stable=False
+        out = jax.lax.sort(
+            (key, g_safe.astype(jnp.int32)) + carry_exp,
+            num_keys=1, is_stable=False,
         )
         # barrier: without it XLA runs the sort twice (once for the counts
         # chain, once for the scatter chain)
-        key_s, g_sorted = jax.lax.optimization_barrier((key_s, g_sorted))
+        out = jax.lax.optimization_barrier(out)
+        key_s, g_sorted = out[0], out[1]
+        sorted_carry = tuple(out[2:])
         tile_s = key_s >> bits_rank
     else:
         # stable two-key int sort: tile major, depth rank minor
-        tile_s, _, g_sorted = jax.lax.sort(
-            (tile_id, rank_slot, g_safe.astype(jnp.int32)),
+        out = jax.lax.sort(
+            (tile_id, rank_slot, g_safe.astype(jnp.int32)) + carry_exp,
             num_keys=2,
             is_stable=False,  # keys are unique as a pair
         )
+        out = jax.lax.optimization_barrier(out)
+        tile_s, g_sorted = out[0], out[2]
+        sorted_carry = tuple(out[3:])
 
     # per-tile ranges (band queries only). NOTE: a scatter-max of
     # (k_of_slot + 1) over the band looks cheaper than a searchsorted call
@@ -230,4 +257,5 @@ def bin_gaussians(
         max_intersections=P,
         tile_start=tstart if stream else None,
         sorted_gauss=g_sorted if stream else None,
+        sorted_carry=sorted_carry if (stream and carry is not None) else None,
     )

@@ -254,7 +254,7 @@ class RasterOut:
 
 def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
              tile_lo: int = 0, tile_hi: int | None = None,
-             force_dense: bool = False):
+             force_dense: bool = False, payload=None):
     grid_x = (camera.width + TILE - 1) // TILE
     grid_y = (camera.height + TILE - 1) // TILE
     proj: Projected = project(
@@ -265,6 +265,17 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
     # blend and vmapped group renders need the dense [T, K] matrix
     use_stream = (config.use_pallas() and not force_dense
                   and config.pallas_input == "stream")
+    carry = None
+    if use_stream and payload is not None:
+        # the blend rows ride the binning sort (sorted-index pack gather +
+        # sort values) — a post-sort random row gather costs ~10 ms at 850k
+        # slots on v5e. stop_gradient: the custom VJP computes these
+        # cotangents itself by per-splat reduction.
+        opac_m = jnp.where(proj.valid, opacities, 0.0)
+        carry = jax.lax.stop_gradient(jnp.concatenate(
+            [proj.mean2d, proj.conic, opac_m[:, None], payload,
+             proj.depth[:, None]], axis=-1,
+        ))
     bins: TileBins = bin_gaussians(
         proj,
         grid_x,
@@ -275,6 +286,7 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
         tile_hi=tile_hi,
         dense=not use_stream,
         stream=use_stream,
+        carry=carry,
     )
     lo = tile_lo
     hi = grid_x * grid_y if tile_hi is None else tile_hi
@@ -307,6 +319,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
             proj.conic,
             opac,
             full_payload,
+            bins.sorted_carry,
             bins.sorted_gauss,
             bins.tile_start,
             bins.counts,
@@ -372,7 +385,7 @@ def rasterize(
     alpha — SURVEY.md §2.1) but with C channels in one pass.
     """
     proj, bins, pix, grids = _prepare(
-        camera, means3d, cov3d, config, screen_tap, opacities
+        camera, means3d, cov3d, config, screen_tap, opacities, payload=payload
     )
     image, alpha, depth = _composite(
         camera, proj, bins, pix, grids, opacities, payload, bg, config
@@ -420,7 +433,7 @@ def rasterize_banded(
         r1 = min(grid_y, r0 + rows_per)
         proj, bins, pix, grids = _prepare(
             camera, means3d, cov3d, config, screen_tap, opacities,
-            tile_lo=r0 * grid_x, tile_hi=r1 * grid_x,
+            tile_lo=r0 * grid_x, tile_hi=r1 * grid_x, payload=payload,
         )
         image, alpha, depth = _composite(
             camera, proj, bins, pix, grids, opacities, payload, bg, config,

@@ -48,6 +48,11 @@ from opengaussian_tpu.ops.projection import TILE
 NPIX = TILE * TILE  # 256 pixels per tile
 
 
+# Sort gradient rows by splat id before the per-splat scatter-add (a random
+# 850k-row scatter-add measured 15.2 ms/step in a device trace; sorts are
+# key-dominated ~4 ms). A/B measured on chip; see commit log.
+SORTED_REDUCE = True
+
 # Exclusive cumprod via MXU log-space matmul: measured ~neutral on the step
 # time AND the exp/log round trip near the T_EPS/ALPHA_MIN thresholds costs
 # 3 orders of magnitude of pallas-vs-XLA parity (2e-3 vs 1e-6 image error on
@@ -648,18 +653,24 @@ def blend_stream_pallas_bwd(rows, counts, tstart, accum, t_final, g_accum,
       t_final[:, None, :], ga_total[:, None, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def blend_tiles_pallas_stream(mean2d, conic, opac, payload, stream_ids,
-                              tstart, counts, tile_offset, chunk, grid_x,
-                              max_chunks, max_per_tile):
-    out, _ = _stream_fwd(mean2d, conic, opac, payload, stream_ids, tstart,
-                         counts, tile_offset, chunk, grid_x, max_chunks,
-                         max_per_tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def blend_tiles_pallas_stream(mean2d, conic, opac, payload, sorted_carry,
+                              stream_ids, tstart, counts, tile_offset, chunk,
+                              grid_x, max_chunks, max_per_tile):
+    """sorted_carry: tuple of [P] f32 columns in sorted-slot order —
+    (mean2d x/y, conic a/b/c, opac, payload..C) delivered by
+    bin_gaussians(carry=...). mean2d/conic/opac/payload are the per-splat
+    originals, used only as the cotangent structure (the custom backward
+    computes their gradients by per-splat reduction)."""
+    out, _ = _stream_fwd(mean2d, conic, opac, payload, sorted_carry,
+                         stream_ids, tstart, counts, tile_offset, chunk,
+                         grid_x, max_chunks, max_per_tile)
     return out
 
 
-def _stream_fwd(mean2d, conic, opac, payload, stream_ids, tstart, counts,
-                tile_offset, chunk, grid_x, max_chunks, max_per_tile):
+def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
+                tstart, counts, tile_offset, chunk, grid_x, max_chunks,
+                max_per_tile):
     n = payload.shape[0]
     # The splat INDEX rides the stream as one extra f32 column (exact below
     # 2^24): the backward writes it through to d_slot, so the per-splat
@@ -667,17 +678,13 @@ def _stream_fwd(mean2d, conic, opac, payload, stream_ids, tstart, counts,
     # rows — an explicit [NC, chunk] window gather of the id stream lowers
     # to a per-element XLA gather and costs ~10 ms/step on v5e.
     assert n < 2**24, "stream kernel id column is exact f32 only below 2^24"
-    table = jnp.concatenate(
-        [mean2d, conic, opac[:, None], payload,
-         jnp.arange(n, dtype=jnp.float32)[:, None]], axis=-1
-    )  # [N, f] with f = 6 + C + 1
-    f = table.shape[1]
+    cols = tuple(sorted_carry) + (stream_ids.astype(jnp.float32),)
+    rows = jnp.stack(cols, axis=-1)  # [P, f]
+    f = rows.shape[1]
     # lane-pad the rows (DMA slices need a 128-multiple minor dim) and add
     # K rows of zero padding: windows of empty tail tiles read [P, P+K)
-    table = jnp.pad(table, ((0, 0), (0, LANES - f)))
-    rows = table[stream_ids]  # [P, LANES] — the ONLY gather on this path
-    rows = jnp.concatenate(
-        [rows, jnp.zeros((max_per_tile, LANES), rows.dtype)], axis=0
+    rows = jnp.pad(
+        rows, ((0, max_per_tile), (0, LANES - f))
     )
     acc, t_final = blend_stream_pallas_fwd(rows, counts, tstart, grid_x,
                                            chunk, max_per_tile, f,
@@ -689,6 +696,7 @@ def _stream_fwd(mean2d, conic, opac, payload, stream_ids, tstart, counts,
 
 def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, res, cts):
     rows, tstart, counts, tile_offset, acc, t_final, n, f = res
+    n_carry = f - 1  # carry columns (id column excluded)
     T = counts.shape[0]
     K = max_per_tile
     F = f  # logical fields in d_slot (rows are lane-padded to LANES)
@@ -723,15 +731,30 @@ def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, res, cts):
     # CHUNKS alias real rows (clamped gather) and must still be dropped
     ids = rows_g[:, F - 1].astype(jnp.int32).reshape(NC, chunk)
     ids = jnp.where(live[:, None], ids, n).reshape(-1)
-    per_gauss = jax.ops.segment_sum(rows_g, ids, num_segments=n)
+    if SORTED_REDUCE:
+        # group rows by splat with a (cheap, key-dominated) sort so the
+        # scatter-add gets monotone indices
+        out = jax.lax.sort(
+            (ids,) + tuple(rows_g[:, i] for i in range(F)),
+            num_keys=1, is_stable=False,
+        )
+        ids_s = out[0]
+        rows_s = jnp.stack(out[1:], axis=-1)
+        per_gauss = jax.ops.segment_sum(
+            rows_s, ids_s, num_segments=n, indices_are_sorted=True
+        )
+    else:
+        per_gauss = jax.ops.segment_sum(rows_g, ids, num_segments=n)
 
     d_mean2d = per_gauss[:, 0:2]
     d_conic = per_gauss[:, 2:5]
     d_opac = per_gauss[:, 5]
     d_payload = per_gauss[:, 6:F - 1]
     zero_i = lambda s: np.zeros(s, jax.dtypes.float0)
-    return (d_mean2d, d_conic, d_opac, d_payload,
-            zero_i((rows.shape[0] - K,)), zero_i(tstart.shape),
+    P_slots = rows.shape[0] - K
+    d_carry = tuple(zero_i((P_slots,)) for _ in range(n_carry))
+    return (d_mean2d, d_conic, d_opac, d_payload, d_carry,
+            zero_i((P_slots,)), zero_i(tstart.shape),
             zero_i(counts.shape), zero_i(tile_offset.shape))
 
 

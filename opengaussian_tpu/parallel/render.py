@@ -90,9 +90,16 @@ def render_sharded(
         proj, pay_f, opac_f = _gather_proj(proj, pay, opac, axis)
         use_stream = config.use_pallas() and config.pallas_input == "stream"
         P_budget = config.max_intersections(n_total)
+        opac_m = jnp.where(proj.valid, opac_f, 0.0)
+        full_pay = jnp.concatenate([pay_f, proj.depth[:, None]], axis=-1)
+        carry = None
+        if use_stream:
+            carry = jax.lax.stop_gradient(jnp.concatenate(
+                [proj.mean2d, proj.conic, opac_m[:, None], full_pay], axis=-1
+            ))
         bins = bin_gaussians(
             proj, grid_x, grid_y, P_budget, config.max_per_tile,
-            dense=not use_stream, stream=use_stream,
+            dense=not use_stream, stream=use_stream, carry=carry,
         )
         tl = Tp // nd
         t0 = r * tl
@@ -103,8 +110,6 @@ def render_sharded(
             jnp.pad(_tile_pixels(grid_x, grid_y), ((0, Tp - T), (0, 0), (0, 0))),
             t0, tl, axis=0,
         )
-        opac_m = jnp.where(proj.valid, opac_f, 0.0)
-        full_pay = jnp.concatenate([pay_f, proj.depth[:, None]], axis=-1)
         if use_stream:
             from opengaussian_tpu.ops.rasterize_pallas import (
                 blend_tiles_pallas_stream,
@@ -119,8 +124,9 @@ def render_sharded(
             )
             max_chunks = P_budget // config.chunk + tl
             accum, t_final = blend_tiles_pallas_stream(
-                proj.mean2d, proj.conic, opac_m, full_pay, bins.sorted_gauss,
-                tstart, counts, t0[None].astype(jnp.int32), config.chunk,
+                proj.mean2d, proj.conic, opac_m, full_pay, bins.sorted_carry,
+                bins.sorted_gauss, tstart, counts,
+                t0[None].astype(jnp.int32), config.chunk,
                 grid_x, max_chunks, config.max_per_tile,
             )
         elif config.use_pallas():
