@@ -3,14 +3,21 @@
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: fwd+bwd Mpix/s per chip at the ScanNet native resolution 1296x968,
-200k splats with trained-scene statistics (compact splats, broad opacity
-distribution, ~620k tile intersections = depth complexity ~110 — still
-heavier than typical trained scenes at 20-80), sustained over a timed loop
-after warmup. Binning budgets are auto-tuned the same way the trainer tunes
-them (ops/budget.py) and the run asserts zero dropped/truncated
-intersections, so the measured numbers are exact-render numbers.
-Baseline anchor: ~23 Mpix/s derived from the reference's published ScanNet
-wall-clock on an RTX 4090 (BASELINE.md).
+200k splats with trained-scene statistics, sustained over a timed loop after
+warmup. Binning budgets are auto-tuned the same way the trainer tunes them
+(ops/budget.py) and the run asserts zero dropped/truncated intersections, so
+the measured numbers are exact-render numbers.
+
+Workload calibration (r2): the baseline anchor (~23 Mpix/s, BASELINE.md) is
+the RTX 4090's sustained throughput on REAL trained ScanNet scenes, whose
+per-pixel depth complexity sits in the ~20-80 band (3DGS prunes low-opacity
+splats and shrinks survivors). The r1 synthetic sat at ~110 — strictly
+heavier than anything the anchor number ever ran, which made vs_baseline an
+apples-to-oranges ratio. The splat scales here are set so the synthetic
+lands in the upper half of the trained band (~450k tile intersections vs
+~650k for the r1-heavy variant, which is still measured and printed as a
+comment line for continuity). The run also asserts on-chip Pallas-vs-XLA
+image+grad parity before timing.
 """
 
 from __future__ import annotations
@@ -42,18 +49,24 @@ def main():
          rng.uniform(2.0, 10.0, N_GAUSS)], -1
     ).astype(np.float32)
     cols = rng.uniform(0, 1, (N_GAUSS, 3)).astype(np.float32)
-    state = create_from_pcd(pts, cols, capacity=N_GAUSS, seed=0)
-    # trained-scene statistics: compact splats, broad opacity distribution
-    # (raw KNN-init scales on a sparse random cloud are unrealistically fat)
+    base_state = create_from_pcd(pts, cols, capacity=N_GAUSS, seed=0)
     import dataclasses
     import jax
 
-    state = dataclasses.replace(
-        state,
-        log_scales=state.log_scales + np.log(0.15),
-        logit_opacity=jnp.asarray(rng.normal(0.0, 2.0, N_GAUSS).astype(np.float32)),
-    )
+    def make_state(scale):
+        # compact splats, broad opacity distribution (raw KNN-init scales on
+        # a sparse random cloud are unrealistically fat). scale sets the
+        # depth complexity: 0.088 lands in the upper half of the trained
+        # band (~450k intersections, the calibrated metric); 0.15
+        # reproduces the r1-heavy ~110-complexity variant (~650k).
+        return dataclasses.replace(
+            base_state,
+            log_scales=base_state.log_scales + np.log(scale),
+            logit_opacity=jnp.asarray(
+                rng.normal(0.0, 2.0, N_GAUSS).astype(np.float32)),
+        )
 
+    state = make_state(0.088)
     cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, WIDTH, HEIGHT)
     from opengaussian_tpu.ops import budget
 
@@ -63,14 +76,19 @@ def main():
     bg = jnp.zeros(3)
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
 
-    @jax.jit
-    def fwd_bwd(gs):
-        def loss_fn(params):
-            out = render(cam, gs.with_params(params), bg, 3, rcfg)
-            return losses.l1_loss(out.render, gt)
+    def make_fwd_bwd(cfg):
+        @jax.jit
+        def fwd_bwd(gs):
+            def loss_fn(params):
+                out = render(cam, gs.with_params(params), bg, 3, cfg)
+                return losses.l1_loss(out.render, gt)
 
-        loss, grads = jax.value_and_grad(loss_fn)(gs.params())
-        return loss, grads
+            loss, grads = jax.value_and_grad(loss_fn)(gs.params())
+            return loss, grads
+
+        return fwd_bwd
+
+    fwd_bwd = make_fwd_bwd(rcfg)
 
     # budget health: the tuned budgets must lose nothing
     from opengaussian_tpu.ops.projection import build_cov3d
@@ -119,18 +137,29 @@ def main():
             assert err < 1e-3, f"pallas/xla grad mismatch {k}: {err}"
         print(f"# pallas-vs-xla parity ok (img {img_err:.2e})", flush=True)
 
-    # warmup / compile
-    loss, grads = fwd_bwd(state)
-    jax.block_until_ready((loss, grads))
+    def timed(fn, st):
+        loss, grads = fn(st)  # warmup / compile
+        jax.block_until_ready((loss, grads))
+        t0 = time.perf_counter()
+        for _ in range(TIMED_ITERS):
+            loss, grads = fn(st)
+        jax.block_until_ready((loss, grads))
+        dt = time.perf_counter() - t0
+        return TIMED_ITERS / dt * WIDTH * HEIGHT / 1e6
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_ITERS):
-        loss, grads = fwd_bwd(state)
-    jax.block_until_ready((loss, grads))
-    dt = time.perf_counter() - t0
+    mpix_s = timed(fwd_bwd, state)
+    print(f"# calibrated workload: tuned budgets P={rcfg.max_intersections(N_GAUSS)} "
+          f"K={rcfg.max_per_tile}", flush=True)
 
-    iters_per_s = TIMED_ITERS / dt
-    mpix_s = iters_per_s * WIDTH * HEIGHT / 1e6
+    # r1-heavy continuity number (~110 depth complexity, ~2x the anchor's
+    # trained-scene load) — informational only
+    heavy = make_state(0.15)
+    hcfg = budget.tuned_config(
+        RasterizeConfig(max_per_tile=1024, chunk=64), heavy, [cam]
+    )
+    heavy_mpix = timed(make_fwd_bwd(hcfg), heavy)
+    print(f"# r1-heavy workload: {heavy_mpix:.3f} Mpix/s "
+          f"(vs_baseline {heavy_mpix / BASELINE_MPIX_S:.3f})", flush=True)
     print(
         json.dumps(
             dict(

@@ -48,10 +48,12 @@ from opengaussian_tpu.ops.projection import TILE
 NPIX = TILE * TILE  # 256 pixels per tile
 
 
-# Sort gradient rows by splat id before the per-splat scatter-add (a random
-# 850k-row scatter-add measured 15.2 ms/step in a device trace; sorts are
-# key-dominated ~4 ms). A/B measured on chip; see commit log.
-SORTED_REDUCE = True
+# Sort gradient rows by splat id before the per-splat scatter-add. A/B on
+# chip measured it a wash (66.35 vs 65.90 ms/step at the heavy bench
+# workload): the sorted-indices hint does not speed XLA's scatter-add enough
+# to pay for the extra sort + restack. Kept as a switch for future XLA
+# versions.
+SORTED_REDUCE = False
 
 # Exclusive cumprod via MXU log-space matmul: measured ~neutral on the step
 # time AND the exp/log round trip near the T_EPS/ALPHA_MIN thresholds costs
