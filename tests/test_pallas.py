@@ -86,3 +86,26 @@ def test_pallas_early_termination_heavy_overdraw():
     b = rasterize(cam, means, cov, op, cols, jnp.zeros(3), PALLAS)
     np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image), atol=3e-5)
     np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha), atol=3e-5)
+
+
+def test_pallas_group_renders_match_xla():
+    """Cluster renders vmap the DENSE-layout pallas kernel (the stream
+    kernels' manual DMAs do not batch); both layouts must match the XLA
+    scan blend."""
+    from opengaussian_tpu.ops.rasterize import rasterize_groups
+
+    cam = make_cam(48, 32)
+    means, scales, quats, op, cols = random_scene(150, seed=5)
+    cov = build_cov3d(scales, quats)
+    bg = jnp.array([0.05, 0.1, 0.15])
+    rng = np.random.default_rng(0)
+    member = jnp.asarray(rng.integers(0, 3, 150))
+    opac_groups = jnp.where(
+        member[None, :] == jnp.arange(3)[:, None], op[None, :], 0.0
+    )
+    a = rasterize_groups(cam, means, cov, opac_groups, cols, bg, XLA)
+    b = rasterize_groups(cam, means, cov, opac_groups, cols, bg, PALLAS)
+    np.testing.assert_allclose(np.asarray(b.image), np.asarray(a.image),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha),
+                               atol=3e-5)
