@@ -110,3 +110,28 @@ def test_scannet2blender(tmp_path):
     d = json.load(open(out))
     assert len(d["frames"]) == 3  # untracked frame dropped
     assert "K" in d["frames"][0]
+
+
+def test_full_eval_scene_tables_and_skip(tmp_path, capsys):
+    """cli/full_eval mirrors the reference's suites (full_eval.py:15-18) and
+    runs metrics-only without dataset roots."""
+    from opengaussian_tpu.cli import full_eval
+
+    assert full_eval.MIPNERF360_OUTDOOR == [
+        "bicycle", "flowers", "garden", "stump", "treehill"]
+    assert full_eval.MIPNERF360_INDOOR == ["room", "counter", "kitchen", "bonsai"]
+    assert full_eval.TANKS_AND_TEMPLES == ["truck", "train"]
+    assert full_eval.DEEP_BLENDING == ["drjohnson", "playroom"]
+    assert len(full_eval.ALL_SCENES) == 13
+
+    class A:
+        mipnerf360, tanksandtemples, deepblending = "/m", "/t", "/d"
+
+    srcs = full_eval.scene_sources(A)
+    assert srcs[0] == ("bicycle", "/m/bicycle", "images_4")
+    assert ("room", "/m/room", "images_2") in srcs
+    assert ("truck", "/t/truck", "images") in srcs
+
+    full_eval.main(["--skip_training", "--skip_rendering",
+                    "--output_path", str(tmp_path / "none")])
+    assert "no evaluated scenes" in capsys.readouterr().out
