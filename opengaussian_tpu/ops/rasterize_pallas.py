@@ -11,24 +11,30 @@ stop below T=1e-4), restructured for the TPU memory hierarchy:
     loop-carried values that never leave registers/VMEM. A tile whose
     pixels all saturate exits the loop early, and a tile with few splats
     loops only ceil(count/chunk) times. The fixed per-grid-step cost is
-    ~1.3 us on v5e (~6 ms of overhead at ~5k tiles if each tile were its
-    own step — and a (tile, chunk) grid is 2x slower end-to-end); GROUP
-    tiles per step amortize it while keeping intermediates at
-    [chunk, NPIX] VPU size.
+    ~1.3 us on v5e; GROUP tiles per step amortize it while keeping
+    intermediates at [chunk, NPIX] VPU size.
   * per-(splat,pixel) alpha math is VPU work on [chunk, 256] blocks; the
     sequential-compositing cumulative product is computed EXACTLY with
     log2(chunk) shift-doubling multiplies (no transcendental log/exp) and
     compositing is one [C, chunk] x [chunk, 256] MXU contraction per chunk;
   * the backward kernel replays the forward (storing only final T and the
     premultiplied accumulation, like the reference CUDA backward) and emits
-    per-slot gradients in the dense [T, K] layout; the wrapper gathers them
-    in sorted-slot order and segment-sums by splat id (binning provides the
-    sorted-order plumbing, no per-slot search or inverse permutation).
+    per-slot gradients in the dense [T, K] layout; the wrapper compacts the
+    live chunks and segment-sums by splat id.
 
-Splat data is pre-gathered outside the kernel into [T, K, F] rows
-(F = mean2d(2) + conic(3) + opacity(1) + payload(C)) — one fast XLA gather.
-The full-K tile block is DMA'd per grid step; at f32 that is K*F*4 bytes
-(64 KB for K=1024), well inside VMEM and hidden by the pipeline.
+TWO input layouts exist:
+
+  * STREAM (`blend_tiles_pallas_stream`, the production path): the kernels
+    DMA each tile's contiguous run straight out of the (tile, depth)-sorted
+    slot stream at scalar-prefetched offsets, double-buffered one grid step
+    ahead. The per-slot rows [Ppad, LANES] arrive from binning's sort-carry
+    (bin_gaussians(carry=...)) — no dense [T, K] matrix, no dense scatter,
+    no random row gather (those measured ~16 ms/step combined at the bench
+    workload). The splat id rides as an f32 column, written through to the
+    gradient rows so the per-splat reduction needs no separate id plumbing.
+  * DENSE (`blend_tiles_pallas`): [T, K, F] BlockSpec staging, kept for
+    vmapped group renders (cluster passes) — manual in-kernel DMAs do not
+    batch under vmap.
 """
 
 from __future__ import annotations
