@@ -36,8 +36,7 @@ from opengaussian_tpu.train import losses
 from opengaussian_tpu.utils import masks as masku
 
 
-def _encoded_feat(gs: G.GaussianState, quantized=None):
-    return (gs.normalized_ins_feat(quantized) + 1.0) / 2.0
+from opengaussian_tpu.render import encoded_ins_feat as _encoded_feat
 
 
 def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
@@ -65,15 +64,20 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
 
     @jax.jit
     def stage0(state, adam, stats, camera: Camera, gt, alpha_mask,
-               iteration, bg):
-        """alpha_mask: [H,W] GT alpha or None (no mask loss)."""
+               iteration, bg, has_alpha=False):
+        """alpha_mask: [H,W] GT alpha or None. has_alpha: traced bool gating
+        the mask loss per view (mirrors the single-device
+        bundle.has_alpha[view_idx] gate — maskless views carry an all-ones
+        placeholder that must NOT be regressed against)."""
 
         def loss_fn(params, tap):
             gs = _mask_sh(state.with_params(params), iteration)
             img, alpha, _depth, radii, n_lost = _rgb_pass(gs, camera, bg, tap)
             loss = losses.rgb_loss(img, gt, ocfg.lambda_dssim)
             if alpha_mask is not None:
-                loss = loss + jnp.mean((alpha - alpha_mask) ** 2)
+                loss = loss + jnp.where(
+                    has_alpha, jnp.mean((alpha - alpha_mask) ** 2), 0.0
+                )
             return loss, (img, radii, n_lost)
 
         tap0 = jnp.zeros((state.capacity, 2))
@@ -86,9 +90,9 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
         aux = dict(image=img, psnr=losses.psnr(img, gt), n_lost=n_lost)
         return state.with_params(new_p), adam, stats, loss, aux
 
-    @partial(jax.jit, static_argnames=("max_masks", "with_alpha_loss"))
+    @partial(jax.jit, static_argnames=("max_masks",))
     def stage1(state, adam, camera: Camera, sam, alpha_mask, iteration, bg,
-               rescale, max_masks: int, with_alpha_loss: bool = False):
+               rescale, max_masks: int, has_alpha=False):
         def loss_fn(params):
             gs = state.with_params(_freeze_geometry(params))
             feat_img, sil_a, _d, _r, _l = _feat_pass(gs, camera, bg, rescale)
@@ -98,28 +102,32 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             l_coh = losses.cohesion_loss(feat_img, masks, valid, means)
             l_sep = losses.separation_loss(means, valid, iteration)
             loss = l_sep + ocfg.loss_weight * l_coh
-            if with_alpha_loss:
-                _i, alpha, _d2, _r2, _l2 = _rgb_pass(
-                    gs, camera, bg, jnp.zeros((state.capacity, 2))
-                )
-                loss = loss + jnp.mean((alpha - alpha_mask) ** 2)
-            return loss
+            return loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params())
         lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
         new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
         return state.with_params(new_p), adam, loss
 
+    def _alpha_term(gs, camera, bg, alpha_mask, has_alpha):
+        if alpha_mask is None:
+            return 0.0
+        _i, alpha, _d, _r, _l = _rgb_pass(
+            gs, camera, bg, jnp.zeros((gs.capacity, 2))
+        )
+        return jnp.where(has_alpha, jnp.mean((alpha - alpha_mask) ** 2), 0.0)
+
     @jax.jit
-    def stage21(state, adam, kms, camera: Camera, pseudo_feat, iteration, bg,
-                rescale):
+    def stage21(state, adam, kms, camera: Camera, pseudo_feat, alpha_mask,
+                iteration, bg, rescale, has_alpha=False):
         def loss_fn(params):
             p = _freeze_geometry(params)
             q = km.quantize(kms, p["ins_feat"], "root")
             gs = state.with_params(p)
             feat_img, sil_a, _d, _r, _l = _feat_pass(gs, camera, bg, rescale, q)
             keep = (sil_a > 0.7).astype(jnp.float32)[..., None]
-            return losses.l1_loss(feat_img, pseudo_feat, keep)
+            loss = losses.l1_loss(feat_img, pseudo_feat, keep)
+            return loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params())
         lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
@@ -128,7 +136,8 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
 
     @jax.jit
     def stage22(state, adam, kms, camera: Camera, pseudo_feat, root_id,
-                root_visible, iteration, bg, rescale):
+                root_visible, alpha_mask, iteration, bg, rescale,
+                has_alpha=False):
         """Renders ONLY the selected root cluster (masked opacity — a splat
         with zero opacity does not alter transmittance, so this equals the
         reference's boolean-index re-launch) with leaf-quantized features."""
@@ -149,6 +158,7 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             occur = (jnp.max(alpha) > 0.8) & (jnp.sum(member) >= 1)
             ok = occur & root_visible
             loss = losses.l2_loss(img, pseudo_feat, sil)
+            loss = loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
             return jnp.where(ok, loss, 0.0), ok
 
         (loss, ok), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -215,7 +215,13 @@ def stage0_block(state, adam, stats, bundle: ViewBundle, vis, its, bgs,
 
 
 def _alpha_mask_loss(out_alpha, bundle, view_idx):
-    return jnp.mean((out_alpha - bundle.alpha_masks[view_idx]) ** 2)
+    # per-view gate: maskless views carry an all-ones placeholder that must
+    # not be regressed against (reference train.py:491 checks per camera)
+    return jnp.where(
+        bundle.has_alpha[view_idx],
+        jnp.mean((out_alpha - bundle.alpha_masks[view_idx]) ** 2),
+        0.0,
+    )
 
 
 def _stage1_body(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
@@ -517,30 +523,30 @@ class Trainer:
         b = self.bundle
         cam = b.camera(vi)
         steps = self._sharded_steps()
+        # jnp.asarray is a no-op for device-resident bundles and a single
+        # H2D for host (save_memory) bundles — no D2H round trips
+        alpha_mask = jnp.asarray(b.alpha_masks[vi]) if self.any_alpha else None
+        has_alpha = jnp.asarray(b.has_alpha[vi])
         if stage == "0":
-            alpha_mask = (
-                jnp.asarray(np.asarray(b.alpha_masks[vi]))
-                if self.any_alpha else None
-            )
             (self.state, self.adam, self.stats, loss, aux) = steps.stage0(
                 self.state, self.adam, self.stats, cam,
-                jnp.asarray(np.asarray(b.gt_images[vi])), alpha_mask,
-                jnp.int32(it), bg,
+                jnp.asarray(b.gt_images[vi]), alpha_mask,
+                jnp.int32(it), bg, has_alpha,
             )
             self._last_lost = aux["n_lost"]
         elif stage == "1":
             self.state, self.adam, loss = steps.stage1(
-                self.state, self.adam, cam,
-                jnp.asarray(np.asarray(b.sam_ids[vi])),
-                jnp.asarray(np.asarray(b.alpha_masks[vi])),
-                jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
-                max_masks=b.max_masks, with_alpha_loss=self.any_alpha,
+                self.state, self.adam, cam, jnp.asarray(b.sam_ids[vi]),
+                alpha_mask, jnp.int32(it), bg,
+                jnp.float32(self._rescale_factor(it)),
+                max_masks=b.max_masks, has_alpha=has_alpha,
             )
         elif stage == "2.1":
             self.state, self.adam, loss = steps.stage21(
                 self.state, self.adam, self.kms, cam,
-                jnp.asarray(self.pseudo.feat[vi]), jnp.int32(it), bg,
-                jnp.float32(self._rescale_factor(it)),
+                jnp.asarray(self.pseudo.feat[vi]), alpha_mask, jnp.int32(it),
+                bg, jnp.float32(self._rescale_factor(it)),
+                has_alpha=has_alpha,
             )
         else:
             root_vis = (
@@ -551,8 +557,9 @@ class Trainer:
             self.state, self.adam, loss, _ = steps.stage22(
                 self.state, self.adam, self.kms, cam,
                 jnp.asarray(self.pseudo.feat[vi]), jnp.int32(self.root_id),
-                root_vis, jnp.int32(it), bg,
+                root_vis, alpha_mask, jnp.int32(it), bg,
                 jnp.float32(self._rescale_factor(it)),
+                has_alpha=has_alpha,
             )
         return loss
 
@@ -982,7 +989,19 @@ class Trainer:
         psnrs, l1s, imgs, gts = [], [], [], []
         for i in range(n):
             b, j = (bundle_window(bundle, i), 0) if host else (bundle, i)
-            img, p, l1 = eval_view(self.state, b, jnp.int32(j), self.bg, self.rcfg)
+            if self.mesh is not None:
+                # keep the eval render sharded — the single-device eval_view
+                # would replicate the whole state per call under a mesh
+                img, _alpha, _depth = self._sharded_steps().eval_render(
+                    self.state, b.camera(j), self.bg
+                )
+                img = jnp.clip(img, 0.0, 1.0)
+                gt_img = jnp.asarray(b.gt_images[j])
+                p = losses.psnr(img, gt_img)
+                l1 = losses.l1_loss(img, gt_img)
+            else:
+                img, p, l1 = eval_view(self.state, b, jnp.int32(j), self.bg,
+                                       self.rcfg)
             psnrs.append(float(p))
             l1s.append(float(l1))
             if len(imgs) < 5:
@@ -995,8 +1014,6 @@ class Trainer:
             split = "test" if self.test_bundle else "train"
             observe.tb_image_grids(self, imgs, gts, split, self._tb_first_eval)
             self._tb_first_eval = False
-        if self.tb is not None:
-            split = "test" if self.test_bundle else "train"
             self.tb.add_scalar(f"{split}/loss_viewpoint - psnr", m["psnr"],
                                self.iteration)
             self.tb.add_scalar(f"{split}/loss_viewpoint - l1_loss", m["l1"],

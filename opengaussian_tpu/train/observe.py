@@ -56,6 +56,7 @@ def dump_intermediate(trainer, it: int, stage: str, view_idx: int):
     b = trainer.bundle
     base = os.path.join(trainer.out_dir, "train_process")
     cam = b.camera(view_idx)
+    orig_view = view_idx  # pseudo labels are indexed by the ORIGINAL view id
     if trainer.save_memory:
         from opengaussian_tpu.train.loop import bundle_window
 
@@ -96,7 +97,7 @@ def dump_intermediate(trainer, it: int, stage: str, view_idx: int):
             pal[sam] / 255.0,
         )
     if trainer.pseudo is not None:
-        pf = np.asarray(trainer.pseudo.feat[view_idx])
+        pf = np.asarray(trainer.pseudo.feat[orig_view])
         pdir = os.path.join(base, sub, "pseudo_ins_feat")
         _save_png(os.path.join(pdir, tag + "_1.png"), pf[..., :3])
         _save_png(os.path.join(pdir, tag + "_2.png"), pf[..., 3:6])

@@ -225,7 +225,7 @@ def test_sharded_stage2_codebook_steps_run_and_learn():
     losses_21 = []
     for it in range(1, 4):
         state, adam, loss = steps.stage21(
-            state, adam, kms, cam, pseudo, jnp.int32(it), jnp.zeros(3),
+            state, adam, kms, cam, pseudo, None, jnp.int32(it), jnp.zeros(3),
             jnp.float32(1.0),
         )
         losses_21.append(float(loss))
@@ -238,7 +238,7 @@ def test_sharded_stage2_codebook_steps_run_and_learn():
     )
     state, adam, loss, ok = steps.stage22(
         state, adam, kms, cam, pseudo, jnp.int32(0), jnp.bool_(True),
-        jnp.int32(12), jnp.zeros(3), jnp.float32(1.0),
+        None, jnp.int32(12), jnp.zeros(3), jnp.float32(1.0),
     )
     assert np.isfinite(float(loss))
     assert len(state.means.sharding.device_set) == 8
@@ -392,3 +392,46 @@ def test_scaling_bench_virtual_mesh():
     for r in rows:
         assert r["ms_per_step"] > 0 and np.isfinite(r["mpix_s"])
     assert rows[0]["efficiency"] == 1.0
+
+
+def test_sharded_alpha_mask_gating():
+    """Maskless views (has_alpha=False) must contribute NO alpha-mask loss
+    even when the all-ones placeholder is passed; masked views must."""
+    from opengaussian_tpu.parallel.steps import make_sharded_steps
+
+    mesh = make_mesh(8)
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 0.9, 0.7, 64, 48)
+    state, adam, stats = _toy_training_state(seed=6)
+    state, adam, stats = _shard_training_state(mesh, state, adam, stats)
+    rng = np.random.default_rng(3)
+    gt = jnp.asarray(rng.uniform(0.2, 0.8, (48, 64, 3)).astype(np.float32))
+    ones_mask = jnp.ones((48, 64))
+    steps = make_sharded_steps(mesh, CFG, OptimizationConfig(), 1.0)
+
+    _, _, _, loss_none, _ = steps.stage0(
+        state, adam, stats, cam, gt, None, jnp.int32(1), jnp.zeros(3)
+    )
+    _, _, _, loss_gated, _ = steps.stage0(
+        state, adam, stats, cam, gt, ones_mask, jnp.int32(1), jnp.zeros(3),
+        jnp.bool_(False),
+    )
+    _, _, _, loss_masked, _ = steps.stage0(
+        state, adam, stats, cam, gt, ones_mask, jnp.int32(1), jnp.zeros(3),
+        jnp.bool_(True),
+    )
+    np.testing.assert_allclose(float(loss_gated), float(loss_none), rtol=1e-6)
+    assert float(loss_masked) > float(loss_none)  # alpha < 1 somewhere
+
+    # stage 1 carries the alpha term too (was silently dropped under --mesh)
+    sam = jnp.asarray(rng.integers(0, 3, (48, 64)).astype(np.int32))
+    ocfg1 = OptimizationConfig(start_ins_feat_iter=0)
+    steps1 = make_sharded_steps(mesh, CFG, ocfg1, 1.0)
+    _, _, l1_none = steps1.stage1(
+        state, adam, cam, sam, None, jnp.int32(5), jnp.zeros(3),
+        jnp.float32(1.0), max_masks=8,
+    )
+    _, _, l1_mask = steps1.stage1(
+        state, adam, cam, sam, ones_mask, jnp.int32(5), jnp.zeros(3),
+        jnp.float32(1.0), max_masks=8, has_alpha=jnp.bool_(True),
+    )
+    assert float(l1_mask) > float(l1_none)
