@@ -77,5 +77,5 @@ from opengaussian_tpu.train.loop import eval_view
 img, p, _ = eval_view(tr.state, tr.test_bundle, jnp.int32(0), tr.bg, rcfg)
 from PIL import Image
 side = np.concatenate([np.asarray(img), views[20].gt_image], axis=1)
-Image.fromarray((np.clip(side,0,1)*255).astype(np.uint8)).save("converge_side_by_side.png")
+Image.fromarray((np.clip(side,0,1)*255).astype(np.uint8)).save(os.path.join(tempfile.gettempdir(), "converge_side_by_side.png"))
 print("done")
