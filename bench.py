@@ -23,6 +23,7 @@ image+grad parity before timing.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -135,7 +136,8 @@ def main():
             scale = float(jnp.abs(g_x[k]).max()) or 1.0
             err = float(jnp.abs(g_p[k] - g_x[k]).max()) / scale
             assert err < 1e-3, f"pallas/xla grad mismatch {k}: {err}"
-        print(f"# pallas-vs-xla parity ok (img {img_err:.2e})", flush=True)
+        print(f"# pallas-vs-xla parity ok (img {img_err:.2e})",
+              file=sys.stderr, flush=True)
 
     def timed(fn, st):
         loss, grads = fn(st)  # warmup / compile
@@ -149,7 +151,7 @@ def main():
 
     mpix_s = timed(fwd_bwd, state)
     print(f"# calibrated workload: tuned budgets P={rcfg.max_intersections(N_GAUSS)} "
-          f"K={rcfg.max_per_tile}", flush=True)
+          f"K={rcfg.max_per_tile}", file=sys.stderr, flush=True)
 
     # r1-heavy continuity number (~110 depth complexity, ~2x the anchor's
     # trained-scene load) — informational only
@@ -159,7 +161,8 @@ def main():
     )
     heavy_mpix = timed(make_fwd_bwd(hcfg), heavy)
     print(f"# r1-heavy workload: {heavy_mpix:.3f} Mpix/s "
-          f"(vs_baseline {heavy_mpix / BASELINE_MPIX_S:.3f})", flush=True)
+          f"(vs_baseline {heavy_mpix / BASELINE_MPIX_S:.3f})",
+          file=sys.stderr, flush=True)
     print(
         json.dumps(
             dict(
