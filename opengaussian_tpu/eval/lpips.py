@@ -27,6 +27,7 @@ that `.npz` once, on any machine that has them.
 from __future__ import annotations
 
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +143,7 @@ def get_lpips() -> LPIPS | None:
                 f"{DEFAULT_WEIGHTS_PATH}; see "
                 "opengaussian_tpu.eval.lpips.convert_torch_weights). "
                 "LPIPS will be reported as null.",
+                file=sys.stderr,
                 flush=True,
             )
             _INSTANCE = "unavailable"

@@ -38,7 +38,10 @@ def evaluate_dirs(renders_dir: str, gt_dir: str) -> dict:
         per_view["SSIM"][n] = float(ssim(jnp.asarray(a), jnp.asarray(b)))
         if lp:
             per_view["LPIPS"][n] = lp(a, b)
-    agg = {k: float(np.mean(list(v.values()))) for k, v in per_view.items() if v}
+    # LPIPS stays in the results dict as None when weights are absent, so
+    # downstream consumers can distinguish "metric unavailable" from
+    # "not applicable" (the lpips module's warning promises null).
+    agg = {k: (float(np.mean(list(v.values()))) if v else None) for k, v in per_view.items()}
     return {"results": agg, "per_view": per_view}
 
 

@@ -1062,3 +1062,7 @@ class Trainer:
                 self.state.capacity, o.root_node_num, o.leaf_node_num
             )
         self._budgets_tuned = False
+        # Keep the mesh invariant: state/adam/stats live sharded whenever a
+        # mesh is configured (matches __init__ and the post-densify path).
+        if self.mesh is not None:
+            self._reshard()
