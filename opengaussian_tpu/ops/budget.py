@@ -40,8 +40,43 @@ def _probe_view(means, cov3d, opac, camera, grid_x: int, grid_y: int,
     return bins.total, jnp.max(bins.counts)
 
 
-def probe(state, cameras, max_views: int = 4):
-    """-> (max total intersections, max per-tile count) over sampled views."""
+@partial(jax.jit, static_argnames=("grid_x", "grid_y", "mesh", "axis"))
+def _probe_view_sharded(means, cov3d, opac, camera, grid_x: int, grid_y: int,
+                        mesh, axis: str = "dev"):
+    """Gather-free sharded probe: each device projects its own splats and
+    scatters their tile rects into a 2-D difference array; one psum of the
+    tiny [gy+1, gx+1] grid + a double cumsum yields the exact per-tile cover
+    counts (== untruncated bins.counts) without running the binning sort or
+    gathering the splat table."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(cam, m, c, o):
+        proj = project(m, c, cam, opacities=o)
+        total = jax.lax.psum(jnp.sum(proj.num_tiles), axis)
+        w = (proj.num_tiles > 0).astype(jnp.float32)
+        x0, y0 = proj.rect_min[:, 0], proj.rect_min[:, 1]
+        x1, y1 = proj.rect_max[:, 0], proj.rect_max[:, 1]
+        diff = jnp.zeros((grid_y + 1, grid_x + 1), jnp.float32)
+        diff = diff.at[y0, x0].add(w, mode="drop")
+        diff = diff.at[y0, x1].add(-w, mode="drop")
+        diff = diff.at[y1, x0].add(-w, mode="drop")
+        diff = diff.at[y1, x1].add(w, mode="drop")
+        diff = jax.lax.psum(diff, axis)
+        counts = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:grid_y, :grid_x]
+        return total, jnp.max(counts).astype(jnp.int32)
+
+    pspec = P(axis)
+    cam_spec = jax.tree.map(lambda _: P(), camera)
+    return shard_map(
+        local, mesh=mesh, in_specs=(cam_spec, pspec, pspec, pspec),
+        out_specs=(P(), P()), check_vma=False,
+    )(camera, means, cov3d, opac)
+
+
+def probe(state, cameras, max_views: int = 4, mesh=None, axis: str = "dev"):
+    """-> (max total intersections, max per-tile count) over sampled views.
+    With a mesh, the probe runs Gaussian-sharded (no state gather)."""
     cov3d = build_cov3d(state.scales, state.quats)
     opac = jnp.where(state.alive, state.opacity, 0.0)
     n = state.capacity
@@ -51,21 +86,36 @@ def probe(state, cameras, max_views: int = 4):
     for cam in cameras[::step][:max_views]:
         gx = (cam.width + TILE - 1) // TILE
         gy = (cam.height + TILE - 1) // TILE
-        total, cnt = _probe_view(state.means, cov3d, opac, cam, gx, gy, probe_p)
+        if mesh is not None:
+            total, cnt = _probe_view_sharded(
+                state.means, cov3d, opac, cam, gx, gy, mesh, axis
+            )
+        else:
+            total, cnt = _probe_view(state.means, cov3d, opac, cam, gx, gy,
+                                     probe_p)
         worst_total = max(worst_total, int(total))
         worst_cnt = max(worst_cnt, int(cnt))
     return worst_total, worst_cnt
 
 
 def tuned_config(base: RasterizeConfig, state, cameras,
-                 max_views: int = 4) -> RasterizeConfig:
-    """Size the budgets to the observed scene with HEADROOM, never above the
-    base config (which acts as the worst-case ceiling)."""
-    total, cnt = probe(state, cameras, max_views)
+                 max_views: int = 4, mesh=None, axis: str = "dev") -> RasterizeConfig:
+    """Size the budgets to the observed scene with HEADROOM. The base config
+    caps the *headroom* growth, but a probe that PROVES the scene needs more
+    than the base (overdraw past base.max_per_tile, or a total above the base
+    pool) grows past it: a static budget below the true need means silently
+    truncated blends and wrong gradients, where the reference's dynamic CUDA
+    allocation (duplicateWithKeys sizes the key buffer per frame) would simply
+    allocate more."""
+    total, cnt = probe(state, cameras, max_views, mesh=mesh, axis=axis)
     n = state.capacity
     ceiling = base.max_intersections(n)
     p = int(np.ceil(total * HEADROOM / 65536) * 65536) if total else ceiling
     p = int(np.clip(p, 2 * n, ceiling))
+    if total > ceiling:  # proven need above the base cap -> grow
+        p = int(np.ceil(total * HEADROOM / 8192) * 8192)
     k = int(np.ceil(cnt * HEADROOM / base.chunk) * base.chunk) if cnt else base.max_per_tile
     k = int(np.clip(k, 2 * base.chunk, base.max_per_tile))
+    if cnt > base.max_per_tile:  # proven overdraw above the base cap -> grow
+        k = int(np.ceil(cnt * HEADROOM / base.chunk) * base.chunk)
     return dataclasses.replace(base, intersection_budget=p, max_per_tile=k)

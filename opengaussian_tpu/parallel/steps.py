@@ -95,19 +95,22 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
                rescale, max_masks: int, has_alpha=False):
         def loss_fn(params):
             gs = state.with_params(_freeze_geometry(params))
-            feat_img, sil_a, _d, _r, _l = _feat_pass(gs, camera, bg, rescale)
+            feat_img, sil_a, _d, _r, n_lost = _feat_pass(gs, camera, bg, rescale)
             sil = (sil_a > 0.7).astype(jnp.float32)
             masks, valid = masku.masks_onehot(sam, max_masks)
             means = masku.mask_feature_mean(feat_img, masks, image_mask=sil)
             l_coh = losses.cohesion_loss(feat_img, masks, valid, means)
             l_sep = losses.separation_loss(means, valid, iteration)
             loss = l_sep + ocfg.loss_weight * l_coh
-            return loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
+            loss = loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
+            return loss, n_lost
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params())
+        (loss, n_lost), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params()
+        )
         lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
         new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
-        return state.with_params(new_p), adam, loss
+        return state.with_params(new_p), adam, loss, n_lost
 
     def _alpha_term(gs, camera, bg, alpha_mask, has_alpha):
         if alpha_mask is None:
@@ -124,15 +127,18 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             p = _freeze_geometry(params)
             q = km.quantize(kms, p["ins_feat"], "root")
             gs = state.with_params(p)
-            feat_img, sil_a, _d, _r, _l = _feat_pass(gs, camera, bg, rescale, q)
+            feat_img, sil_a, _d, _r, n_lost = _feat_pass(gs, camera, bg, rescale, q)
             keep = (sil_a > 0.7).astype(jnp.float32)[..., None]
             loss = losses.l1_loss(feat_img, pseudo_feat, keep)
-            return loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
+            loss = loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
+            return loss, n_lost
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params())
+        (loss, n_lost), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params()
+        )
         lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
         new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
-        return state.with_params(new_p), adam, loss
+        return state.with_params(new_p), adam, loss, n_lost
 
     @jax.jit
     def stage22(state, adam, kms, camera: Camera, pseudo_feat, root_id,
@@ -151,7 +157,7 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             cov = build_cov3d(gs.scales * rescale, gs.quats)
             opac = jnp.where(member, gs.opacity, 0.0)
             fbg = jnp.concatenate([bg, bg])
-            img, alpha, _d, _r, _l = render_sharded(
+            img, alpha, _d, _r, n_lost = render_sharded(
                 mesh, camera, gs.means, cov, opac, feat, fbg, rcfg, axis
             )
             sil = (alpha > 0.7).astype(jnp.float32)[..., None]
@@ -159,15 +165,15 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             ok = occur & root_visible
             loss = losses.l2_loss(img, pseudo_feat, sil)
             loss = loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
-            return jnp.where(ok, loss, 0.0), ok
+            return jnp.where(ok, loss, 0.0), (ok, n_lost)
 
-        (loss, ok), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (ok, n_lost)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params()
         )
         grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
         lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
         new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
-        return state.with_params(new_p), adam, loss, ok
+        return state.with_params(new_p), adam, loss, ok, n_lost
 
     @jax.jit
     def eval_render(state, camera: Camera, bg):

@@ -213,4 +213,5 @@ def _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points):
         cluster_valid=valid,
         radii=r.radii,
         visibility_filter=r.radii > 0,
+        n_lost=r.n_dropped + r.n_truncated,
     )

@@ -26,6 +26,27 @@ SIL_THRESHOLD = 0.8
 MIN_LEAF_POINTS = 10  # reference train.py:312-313
 
 
+def score_leaves(cluster_imgs, cluster_sils, cluster_valid, pm, pm_valid,
+                 p_mean, root_visible):
+    """Post-render scoring of one root's k2 leaves (shared single-device /
+    sharded): IoU * (1 - L1) over pseudo masks -> (mask id [k2] 1-based,
+    score [k2], matched [k2] bool)."""
+    sils = cluster_sils > SIL_THRESHOLD  # [k2,H,W]
+    pred_mean = masku.pair_mask_feature_mean(cluster_imgs, sils)  # [k2,6]
+    ious = masku.calculate_iou(pm[None], sils[:, None])  # [k2, M]
+    l1 = jnp.abs(pred_mean[:, None, :] - p_mean[None, :, :]).sum(-1)  # [k2,M]
+    scores = ious * (1.0 - l1)
+    scores = jnp.where(pm_valid[None, :], scores, -jnp.inf)
+
+    max_ind = jnp.argmax(scores, axis=-1)  # [k2] 0-based mask slot
+    max_score = jnp.take_along_axis(scores, max_ind[:, None], axis=-1)[:, 0]
+    matched = (max_score > MATCH_THRESHOLD) & cluster_valid & root_visible
+    # mask ids are 1-based (0 = invalid); unmatched record id 0, score 0
+    mask_id = jnp.where(matched, max_ind + 1, 0)
+    score = jnp.where(matched, max_score, 0.0)
+    return mask_id.astype(jnp.int32), score, matched
+
+
 @partial(jax.jit, static_argnames=("k2", "max_masks", "config"))
 def _associate_root_view(gs, kms_leaf_ids, camera, pseudo_feat, pseudo_ids,
                          root_id, root_visible, bg, k2: int, max_masks: int,
@@ -36,24 +57,36 @@ def _associate_root_view(gs, kms_leaf_ids, camera, pseudo_feat, pseudo_ids,
         camera, gs, bg, kms_leaf_ids, group_ids, config,
         origin_feat=True, better_vis=False, min_points=MIN_LEAF_POINTS,
     )
-    sils = out.cluster_silhouettes > SIL_THRESHOLD  # [k2,H,W]
-    pred_mean = masku.pair_mask_feature_mean(out.cluster_imgs, sils)  # [k2,6]
+    pm, pm_valid = masku.masks_onehot(pseudo_ids, max_masks)  # [M,H,W]
+    p_mean = masku.mask_feature_mean(pseudo_feat, pm)  # [M,6]
+    return score_leaves(out.cluster_imgs, out.cluster_silhouettes,
+                        out.cluster_valid, pm, pm_valid, p_mean, root_visible)
 
+
+@partial(jax.jit, static_argnames=("k1", "k2", "max_masks", "config"))
+def _associate_view(gs, kms_leaf_ids, camera, pseudo_feat, pseudo_ids,
+                    occur_row, bg, k1: int, k2: int, max_masks: int,
+                    config: RasterizeConfig):
+    """All k1 roots of ONE view in a single dispatch (lax.scan over roots):
+    collapses the reference's k1*V rasterization storm (reference
+    train.py:842-954) to V dispatches while peak memory stays at one root's
+    k2-leaf render. -> (mask id [k1*k2], score [k1*k2], matched [k1*k2])."""
     pm, pm_valid = masku.masks_onehot(pseudo_ids, max_masks)  # [M,H,W]
     p_mean = masku.mask_feature_mean(pseudo_feat, pm)  # [M,6]
 
-    ious = masku.calculate_iou(pm[None], sils[:, None])  # [k2, M]
-    l1 = jnp.abs(pred_mean[:, None, :] - p_mean[None, :, :]).sum(-1)  # [k2,M]
-    scores = ious * (1.0 - l1)
-    scores = jnp.where(pm_valid[None, :], scores, -jnp.inf)
+    def body(_, root_id):
+        group_ids = root_id * k2 + jnp.arange(k2)
+        out = render_clusters(
+            camera, gs, bg, kms_leaf_ids, group_ids, config,
+            origin_feat=True, better_vis=False, min_points=MIN_LEAF_POINTS,
+        )
+        res = score_leaves(out.cluster_imgs, out.cluster_silhouettes,
+                           out.cluster_valid, pm, pm_valid, p_mean,
+                           occur_row[root_id])
+        return None, res
 
-    max_ind = jnp.argmax(scores, axis=-1)  # [k2] 0-based mask slot
-    max_score = jnp.take_along_axis(scores, max_ind[:, None], axis=-1)[:, 0]
-    matched = (max_score > MATCH_THRESHOLD) & out.cluster_valid & root_visible
-    # mask ids are 1-based (0 = invalid); unmatched record id 0, score 0
-    mask_id = jnp.where(matched, max_ind + 1, 0)
-    score = jnp.where(matched, max_score, 0.0)
-    return mask_id.astype(jnp.int32), score, matched
+    _, (mid, sc, ok) = jax.lax.scan(body, None, jnp.arange(k1))
+    return mid.reshape(-1), sc.reshape(-1), ok.reshape(-1)
 
 
 def associate_language(
@@ -67,28 +100,35 @@ def associate_language(
     k2: int,
     config: RasterizeConfig,
     out_path: str | None = None,
+    view_fn=None,
 ) -> dict:
+    """view_fn: optional override of the per-view association
+    (gs, leaf_ids, camera, pseudo_feat, pseudo_ids, occur_row, bg) ->
+    ([k1*k2] id, score, matched) — parallel/sweeps.make_sweep_fns provides a
+    mesh-sharded twin."""
     V = bundle.num_views
     match_id = np.zeros((k1 * k2, V), np.int64)
     match_score = np.zeros((k1 * k2, V), np.float32)
     match_ok = np.zeros((k1 * k2, V), bool)
+    if view_fn is None:
+        view_fn = lambda gs, li, cam, pf, pi, oc, b: _associate_view(
+            gs, li, cam, pf, pi, oc, b, k1, k2, bundle.max_masks, config
+        )
 
-    for root in range(k1):
-        for v in range(V):
-            vis = (
-                pseudo.cluster_occur[v, root]
-                if pseudo.cluster_occur is not None
-                else jnp.bool_(True)
-            )
-            mid, sc, ok = _associate_root_view(
-                state, kms.leaf_cls_ids, bundle.camera(v), pseudo.feat[v],
-                pseudo.mask_ids[v], jnp.int32(root), vis, bg,
-                k2, bundle.max_masks, config,
-            )
-            sl = slice(root * k2, root * k2 + k2)
-            match_id[sl, v] = np.asarray(mid)
-            match_score[sl, v] = np.asarray(sc)
-            match_ok[sl, v] = np.asarray(ok)
+    for v in range(V):
+        occur_row = (
+            jnp.asarray(pseudo.cluster_occur[v])
+            if pseudo.cluster_occur is not None
+            else jnp.ones((k1,), bool)
+        )
+        mid, sc, ok = view_fn(
+            state, kms.leaf_cls_ids, bundle.camera(v),
+            jnp.asarray(pseudo.feat[v]), jnp.asarray(pseudo.mask_ids[v]),
+            occur_row, bg,
+        )
+        match_id[:, v] = np.asarray(mid)
+        match_score[:, v] = np.asarray(sc)
+        match_ok[:, v] = np.asarray(ok)
 
     occu_count = match_ok.sum(axis=1).astype(np.float32)  # [k1*k2]
     leaf_score = match_score.sum(axis=1) / (occu_count + 1e-6)

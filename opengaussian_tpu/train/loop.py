@@ -245,12 +245,14 @@ def _stage1_body(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
         loss = l_sep + ocfg.loss_weight * l_coh
         if with_alpha_loss:
             loss = loss + _alpha_mask_loss(out.alpha, bundle, view_idx)
-        return loss
+        return loss, out.n_lost
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params())
+    (loss, n_lost), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params()
+    )
     lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
     new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
-    return state.with_params(new_p), adam, loss
+    return state.with_params(new_p), adam, loss, n_lost
 
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
@@ -269,13 +271,15 @@ def stage1_block(state, adam, bundle: ViewBundle, vis, its, bgs, rescales,
     def body(carry, xs):
         st, ad = carry
         vi, it, bg, rs = xs
-        st, ad, loss = _stage1_body(
+        st, ad, loss, lost = _stage1_body(
             st, ad, bundle, vi, it, bg, rs, rcfg, ocfg, with_alpha_loss
         )
-        return (st, ad), loss
+        return (st, ad), (loss, lost)
 
-    (state, adam), ls = jax.lax.scan(body, (state, adam), (vis, its, bgs, rescales))
-    return state, adam, ls[-1]
+    (state, adam), (ls, lo) = jax.lax.scan(
+        body, (state, adam), (vis, its, bgs, rescales)
+    )
+    return state, adam, ls[-1], jnp.max(lo)
 
 
 def _stage21_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
@@ -298,12 +302,14 @@ def _stage21_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
         loss = losses.l1_loss(out.ins_feat, pseudo_feat, keep)
         if with_alpha_loss:
             loss = loss + _alpha_mask_loss(out.alpha, bundle, view_idx)
-        return loss
+        return loss, out.n_lost
 
-    loss, grads = jax.value_and_grad(loss_fn)(state.params())
+    (loss, n_lost), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params()
+    )
     lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
     new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
-    return state.with_params(new_p), adam, loss
+    return state.with_params(new_p), adam, loss, n_lost
 
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
@@ -324,14 +330,16 @@ def stage21_block(state, adam, kms, bundle: ViewBundle, vis, its, bgs,
     def body(carry, xs):
         st, ad = carry
         vi, it, bg, rs = xs
-        st, ad, loss = _stage21_body(
+        st, ad, loss, lost = _stage21_body(
             st, ad, kms, bundle, vi, it, bg, rs, pseudo_feat_all[vi],
             rcfg, ocfg, with_alpha_loss,
         )
-        return (st, ad), loss
+        return (st, ad), (loss, lost)
 
-    (state, adam), ls = jax.lax.scan(body, (state, adam), (vis, its, bgs, rescales))
-    return state, adam, ls[-1]
+    (state, adam), (ls, lo) = jax.lax.scan(
+        body, (state, adam), (vis, its, bgs, rescales)
+    )
+    return state, adam, ls[-1], jnp.max(lo)
 
 
 def _stage22_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
@@ -357,13 +365,15 @@ def _stage22_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
         if with_alpha_loss:
             color = render(cam, gs, bg, 3, rcfg)
             loss = loss + _alpha_mask_loss(color.alpha, bundle, view_idx)
-        return jnp.where(ok, loss, 0.0), ok
+        return jnp.where(ok, loss, 0.0), (ok, out.n_lost)
 
-    (loss, ok), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params())
+    (loss, (ok, n_lost)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params()
+    )
     lrs = opt_mod.learning_rates(ocfg, iteration, 1.0)
     grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
     new_p, adam = opt_mod.apply(state.params(), grads, adam, lrs)
-    return state.with_params(new_p), adam, loss, ok
+    return state.with_params(new_p), adam, loss, ok, n_lost
 
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
@@ -384,16 +394,16 @@ def stage22_block(state, adam, kms, bundle: ViewBundle, vis, its, bgs,
     def body(carry, xs):
         st, ad = carry
         vi, it, bg, rs, rid = xs
-        st, ad, loss, _ = _stage22_body(
+        st, ad, loss, _, lost = _stage22_body(
             st, ad, kms, bundle, vi, it, bg, rs, pseudo_feat_all[vi], rid,
             cluster_occur[vi, rid], rcfg, ocfg, with_alpha_loss,
         )
-        return (st, ad), loss
+        return (st, ad), (loss, lost)
 
-    (state, adam), ls = jax.lax.scan(
+    (state, adam), (ls, lo) = jax.lax.scan(
         body, (state, adam), (vis, its, bgs, rescales, root_ids)
     )
-    return state, adam, ls[-1]
+    return state, adam, ls[-1], jnp.max(lo)
 
 
 @partial(jax.jit, static_argnames=("rcfg",))
@@ -423,6 +433,8 @@ class Trainer:
         self.mesh = mesh
         self._psteps = None
         self._psteps_key = None
+        self._psweeps = None
+        self._psweeps_key = None
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "cfg_args.json"), "w") as f:
             f.write(cfg.to_json())
@@ -441,6 +453,10 @@ class Trainer:
             if scene.test_views else None
         )
         self.rcfg = rcfg or RasterizeConfig()
+        # worst-case ceiling for budget autotuning: re-probes (e.g. after a
+        # drop warning) tune against THIS, not the current possibly-shrunk
+        # rcfg, so budgets can grow back when the scene's load increases
+        self._base_rcfg = self.rcfg
         self.bg = jnp.asarray(
             [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
         )
@@ -535,14 +551,14 @@ class Trainer:
             )
             self._last_lost = aux["n_lost"]
         elif stage == "1":
-            self.state, self.adam, loss = steps.stage1(
+            self.state, self.adam, loss, self._last_lost = steps.stage1(
                 self.state, self.adam, cam, jnp.asarray(b.sam_ids[vi]),
                 alpha_mask, jnp.int32(it), bg,
                 jnp.float32(self._rescale_factor(it)),
                 max_masks=b.max_masks, has_alpha=has_alpha,
             )
         elif stage == "2.1":
-            self.state, self.adam, loss = steps.stage21(
+            self.state, self.adam, loss, self._last_lost = steps.stage21(
                 self.state, self.adam, self.kms, cam,
                 jnp.asarray(self.pseudo.feat[vi]), alpha_mask, jnp.int32(it),
                 bg, jnp.float32(self._rescale_factor(it)),
@@ -554,7 +570,7 @@ class Trainer:
                 if self.pseudo is not None and self.pseudo.cluster_occur is not None
                 else jnp.bool_(True)
             )
-            self.state, self.adam, loss, _ = steps.stage22(
+            self.state, self.adam, loss, _, self._last_lost = steps.stage22(
                 self.state, self.adam, self.kms, cam,
                 jnp.asarray(self.pseudo.feat[vi]), jnp.int32(self.root_id),
                 root_vis, alpha_mask, jnp.int32(it), bg,
@@ -593,7 +609,8 @@ class Trainer:
         from opengaussian_tpu.ops import budget
 
         cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
-        new = budget.tuned_config(self.rcfg, self.state, cams)
+        new = budget.tuned_config(self._base_rcfg, self.state, cams,
+                                  mesh=self.mesh)
         if new != self.rcfg:
             old_p = self.rcfg.max_intersections(self.state.capacity)
             new_p = new.max_intersections(self.state.capacity)
@@ -632,6 +649,24 @@ class Trainer:
             return float(self.rng.random())
         return 1.0
 
+    def _sweeps(self):
+        """Mesh-sharded sweep functions (parallel/sweeps.py), memoized on the
+        raster config / codebook geometry — None on a single device."""
+        if self.mesh is None:
+            return None
+        from opengaussian_tpu.parallel.sweeps import make_sweep_fns
+
+        o = self.cfg.opt
+        key = (self.rcfg, o.root_node_num, o.leaf_node_num,
+               self.bundle.max_masks)
+        if self._psweeps is None or self._psweeps_key != key:
+            self._psweeps = make_sweep_fns(
+                self.mesh, self.rcfg, o.root_node_num, o.leaf_node_num,
+                self.bundle.max_masks,
+            )
+            self._psweeps_key = key
+        return self._psweeps
+
     def _ensure_pseudo(self, mode: str):
         cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
         self.pseudo = pseudo_mod.construct_pseudo_labels(
@@ -639,6 +674,7 @@ class Trainer:
             self.bundle.max_masks, self.rcfg, mode=mode,
             cls_ids=self.kms.cls_ids, k1=self.cfg.opt.root_node_num,
             k2=self.cfg.opt.leaf_node_num, to_host=self.save_memory,
+            sweep_fns=self._sweeps(),
         )
         if mode == "leaf" and self.pseudo.leaf_sub_num is not None:
             self.kms = self.kms._replace(leaf_sub_num=self.pseudo.leaf_sub_num)
@@ -843,13 +879,13 @@ class Trainer:
                 )
             )
         elif stage == "1":
-            self.state, self.adam, loss = stage1_step(
+            self.state, self.adam, loss, self._last_lost = stage1_step(
                 self.state, self.adam, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 self.rcfg, o, self.any_alpha,
             )
         elif stage == "2.1":
-            self.state, self.adam, loss = stage21_step(
+            self.state, self.adam, loss, self._last_lost = stage21_step(
                 self.state, self.adam, self.kms, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 jnp.asarray(self.pseudo.feat[vi]), self.rcfg, o,
@@ -861,7 +897,7 @@ class Trainer:
                 if self.pseudo is not None and self.pseudo.cluster_occur is not None
                 else jnp.bool_(True)
             )
-            self.state, self.adam, loss, _ = stage22_step(
+            self.state, self.adam, loss, _, self._last_lost = stage22_step(
                 self.state, self.adam, self.kms, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 jnp.asarray(self.pseudo.feat[vi]), jnp.int32(self.root_id),
@@ -889,12 +925,12 @@ class Trainer:
             [self._rescale_factor(j) for j in range(it, it + n)], jnp.float32
         )
         if stage == "1":
-            self.state, self.adam, loss = stage1_block(
+            self.state, self.adam, loss, self._last_lost = stage1_block(
                 self.state, self.adam, self.bundle, vis, its, bgs, rescales,
                 self.rcfg, o, self.any_alpha,
             )
         elif stage == "2.1":
-            self.state, self.adam, loss = stage21_block(
+            self.state, self.adam, loss, self._last_lost = stage21_block(
                 self.state, self.adam, self.kms, self.bundle, vis, its, bgs,
                 rescales, self.pseudo.feat, self.rcfg, o, self.any_alpha,
             )
@@ -974,10 +1010,12 @@ class Trainer:
         if self.pseudo is None or self.pseudo.cluster_occur is None:
             self._ensure_pseudo("leaf")
         tables = lang.clip_tables_from_views(self.train_views, self.cfg.opt.sam_level)
+        sweeps = self._sweeps()
         return lang.associate_language(
             self.state, self.kms, self.bundle, self.pseudo, tables, self.bg,
             self.cfg.opt.root_node_num, self.cfg.opt.leaf_node_num, self.rcfg,
             out_path=os.path.join(self.out_dir, "cluster_lang.npz"),
+            view_fn=sweeps.lang_view if sweeps is not None else None,
         )
 
     # -- evaluation / artifacts --

@@ -45,15 +45,10 @@ class PseudoLabels(NamedTuple):
     leaf_sub_num: jnp.ndarray | None = None  # [k1] int32 iClusterSubNum
 
 
-@partial(jax.jit, static_argnames=("max_masks", "config"))
-def _sweep1_view(gs: GaussianState, camera, sam_ids, bg, max_masks: int,
-                 config: RasterizeConfig):
-    out = render(
-        camera, gs, bg, 3, config,
-        render_color=False, render_feat_map=True, origin_feat=True,
-        rescale_factor=1.0,
-    )
-    feat = out.ins_feat  # [H,W,6]
+def sweep1_math(feat, sam_ids, max_masks: int):
+    """Post-render math of sweep 1 (shared by the single-device and the
+    mesh-sharded paths): mask means + variance filter -> (pseudo feature
+    image [H,W,6], filtered mask ids [H,W])."""
     masks, valid = masku.masks_onehot(sam_ids, max_masks)
     mean, var, counts = masku.mask_feature_mean(feat, masks, return_var=True)
     drop = (var > VAR_THRESHOLD) & valid
@@ -69,14 +64,10 @@ def _sweep1_view(gs: GaussianState, camera, sam_ids, bg, max_masks: int,
     return pseudo, filt_ids.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("max_masks", "k1", "config"))
-def _sweep2_view(gs: GaussianState, camera, pseudo_feat, pseudo_ids, cls_ids, bg,
-                 max_masks: int, k1: int, config: RasterizeConfig):
-    """Returns (matched_count [k1], occur [k1])."""
-    out = render_clusters(
-        camera, gs, bg, cls_ids, jnp.arange(k1), config,
-        origin_feat=True, better_vis=True, scale_limit=0.5, min_points=100,
-    )
+def sweep2_math(cluster_imgs, cluster_sils, cluster_occur, pseudo_feat,
+                pseudo_ids, max_masks: int):
+    """Post-render math of sweep 2 (shared single-device/sharded): IoU +
+    feature-distance gates -> (matched_count [k1], occur [k1])."""
     pm, pm_valid = masku.masks_onehot(pseudo_ids, max_masks)  # [M,H,W]
     p_mean = masku.mask_feature_mean(pseudo_feat, pm)  # [M,6]
 
@@ -96,10 +87,32 @@ def _sweep2_view(gs: GaussianState, camera, pseudo_feat, pseudo_ids, cls_ids, bg
         any_match = good.any() & ok
         return jnp.where(any_match, count, 0), any_match
 
-    counts, occur = jax.vmap(per_cluster)(
-        out.cluster_imgs, out.cluster_silhouettes, out.cluster_occur
-    )
+    counts, occur = jax.vmap(per_cluster)(cluster_imgs, cluster_sils,
+                                          cluster_occur)
     return counts.astype(jnp.int32), occur
+
+
+@partial(jax.jit, static_argnames=("max_masks", "config"))
+def _sweep1_view(gs: GaussianState, camera, sam_ids, bg, max_masks: int,
+                 config: RasterizeConfig):
+    out = render(
+        camera, gs, bg, 3, config,
+        render_color=False, render_feat_map=True, origin_feat=True,
+        rescale_factor=1.0,
+    )
+    return sweep1_math(out.ins_feat, sam_ids, max_masks)
+
+
+@partial(jax.jit, static_argnames=("max_masks", "k1", "config"))
+def _sweep2_view(gs: GaussianState, camera, pseudo_feat, pseudo_ids, cls_ids, bg,
+                 max_masks: int, k1: int, config: RasterizeConfig):
+    """Returns (matched_count [k1], occur [k1])."""
+    out = render_clusters(
+        camera, gs, bg, cls_ids, jnp.arange(k1), config,
+        origin_feat=True, better_vis=True, scale_limit=0.5, min_points=100,
+    )
+    return sweep2_math(out.cluster_imgs, out.cluster_silhouettes,
+                       out.cluster_occur, pseudo_feat, pseudo_ids, max_masks)
 
 
 def construct_pseudo_labels(
@@ -114,16 +127,26 @@ def construct_pseudo_labels(
     k1: int = 64,
     k2: int = 5,
     to_host: bool = False,
+    sweep_fns=None,
 ) -> PseudoLabels:
     """to_host=True keeps the per-view pseudo-feature images in host memory
     (save_memory mode): at V views of HxWx6 f32 this is the single largest
-    training-time buffer, and the trainer streams one view per step."""
+    training-time buffer, and the trainer streams one view per step.
+
+    sweep_fns: optional namespace with .sweep1(gs, cam, sam_ids, bg) and
+    .sweep2(gs, cam, pseudo_feat, pseudo_ids, cls_ids, bg) overriding the
+    single-device jitted sweeps — parallel/sweeps.make_sweep_fns provides
+    mesh-sharded twins so a sharded state is never gathered to one device."""
+    sweep1 = (sweep_fns.sweep1 if sweep_fns is not None else
+              lambda g, c, s, b: _sweep1_view(g, c, s, b, max_masks, config))
+    sweep2 = (sweep_fns.sweep2 if sweep_fns is not None else
+              lambda g, c, f, m, ci, b: _sweep2_view(g, c, f, m, ci, b,
+                                                     max_masks, k1, config))
     stack = (lambda xs: np.stack([np.asarray(x) for x in xs])) if to_host \
         else jnp.stack
     feats, ids = [], []
     for i, cam in enumerate(cameras):
-        f, m = _sweep1_view(gs, cam, jnp.asarray(sam_ids[i]), bg, max_masks,
-                            config)
+        f, m = sweep1(gs, cam, jnp.asarray(sam_ids[i]), bg)
         feats.append(f)
         ids.append(m)
     feat = stack(feats)
@@ -136,9 +159,9 @@ def construct_pseudo_labels(
         counts = jnp.ones((k1,), jnp.int32)
         occ = []
         for i, cam in enumerate(cameras):
-            c, o = _sweep2_view(
+            c, o = sweep2(
                 gs, cam, jnp.asarray(feat[i]), jnp.asarray(mask_ids[i]),
-                cls_ids, bg, max_masks, k1, config
+                cls_ids, bg,
             )
             counts = jnp.maximum(counts, c)
             occ.append(o)

@@ -38,3 +38,51 @@ def test_tuned_config_shrinks_and_stays_exact():
     assert int(tun.n_dropped) == 0 and int(tun.n_truncated) == 0
     np.testing.assert_allclose(np.asarray(tun.image), np.asarray(full.image),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_stage1_reports_lost_and_trainer_reprobes(tmp_path, capsys):
+    """A budget overflow during the FEATURE stages must be detected (VERDICT
+    r2 item 6: n_lost was stage-0-only): shrink the budgets mid-stage-1 and
+    observe the warning + re-probe."""
+    import pytest
+
+    pytest.importorskip("jax")
+    import jax
+
+    from opengaussian_tpu.config import Config, ModelConfig, OptimizationConfig
+    from opengaussian_tpu.data import dataset
+    from opengaussian_tpu.train.loop import Trainer
+    from tests.test_data import make_colmap_scene
+
+    root = str(tmp_path / "scene")
+    make_colmap_scene(root, n_views=3)
+    scene = dataset.load_scene(root)
+    tiny = OptimizationConfig(
+        iterations=8, start_ins_feat_iter=2, start_root_cb_iter=100,
+        start_leaf_cb_iter=200, densify_from_iter=100, densify_until_iter=0,
+        root_node_num=4, leaf_node_num=3, sam_level=3,
+    )
+    tr = Trainer(
+        scene, Config(model=ModelConfig(), opt=tiny), str(tmp_path / "out"),
+        rcfg=RasterizeConfig(max_per_tile=128, chunk=32,
+                             min_intersections=8192),
+        autotune_budgets=False,
+    )
+    tr.train(until=2, log_every=1)  # through stage 0
+
+    # strangle the budgets: every stage-1 render now drops intersections
+    tr.rcfg = RasterizeConfig(max_per_tile=16, chunk=16,
+                              min_intersections=256, intersection_budget=256)
+    tr.autotune_budgets = True
+    tr._budgets_tuned = True  # pretend these tiny budgets were "tuned"
+    tr.train(until=4, log_every=1)
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "re-probing" in out
+    # the re-probe restored workable budgets: further steps run clean, even
+    # where the scene's true need exceeds the base config's per-tile cap
+    tr.train(until=6, log_every=1)
+    out = capsys.readouterr().out
+    assert "WARNING" not in out
+    assert tr._budgets_tuned
+    assert tr.rcfg.max_intersections(tr.state.capacity) > 256
+

@@ -182,7 +182,7 @@ def test_sharded_stage1_matches_single_device():
         width=64, height=48, max_masks=8,
     )
     means0 = np.asarray(state.means).copy()  # stage1_step donates `state`
-    s_ref, a_ref, loss_ref = tloop.stage1_step(
+    s_ref, a_ref, loss_ref, _ = tloop.stage1_step(
         state, adam, bundle, jnp.int32(0), jnp.int32(5), jnp.zeros(3),
         jnp.float32(1.0), CFG, ocfg,
     )
@@ -190,7 +190,7 @@ def test_sharded_stage1_matches_single_device():
     state2, adam2, _ = _toy_training_state(seed=3)
     state2, adam2, _ = _shard_training_state(mesh, state2, adam2)
     steps = make_sharded_steps(mesh, CFG, ocfg, 1.0)
-    s_sh, a_sh, loss_sh = steps.stage1(
+    s_sh, a_sh, loss_sh, _ = steps.stage1(
         state2, adam2, cam, sam, None, jnp.int32(5), jnp.zeros(3),
         jnp.float32(1.0), max_masks=8,
     )
@@ -224,7 +224,7 @@ def test_sharded_stage2_codebook_steps_run_and_learn():
 
     losses_21 = []
     for it in range(1, 4):
-        state, adam, loss = steps.stage21(
+        state, adam, loss, _ = steps.stage21(
             state, adam, kms, cam, pseudo, None, jnp.int32(it), jnp.zeros(3),
             jnp.float32(1.0),
         )
@@ -236,7 +236,7 @@ def test_sharded_stage2_codebook_steps_run_and_learn():
         kms, jnp.asarray(np.asarray(state.ins_feat)), state.alive,
         jnp.int32(0), jax.random.PRNGKey(1), k2=3, init=True,
     )
-    state, adam, loss, ok = steps.stage22(
+    state, adam, loss, ok, _ = steps.stage22(
         state, adam, kms, cam, pseudo, jnp.int32(0), jnp.bool_(True),
         None, jnp.int32(12), jnp.zeros(3), jnp.float32(1.0),
     )
@@ -426,11 +426,11 @@ def test_sharded_alpha_mask_gating():
     sam = jnp.asarray(rng.integers(0, 3, (48, 64)).astype(np.int32))
     ocfg1 = OptimizationConfig(start_ins_feat_iter=0)
     steps1 = make_sharded_steps(mesh, CFG, ocfg1, 1.0)
-    _, _, l1_none = steps1.stage1(
+    _, _, l1_none, _ = steps1.stage1(
         state, adam, cam, sam, None, jnp.int32(5), jnp.zeros(3),
         jnp.float32(1.0), max_masks=8,
     )
-    _, _, l1_mask = steps1.stage1(
+    _, _, l1_mask, _ = steps1.stage1(
         state, adam, cam, sam, ones_mask, jnp.int32(5), jnp.zeros(3),
         jnp.float32(1.0), max_masks=8, has_alpha=jnp.bool_(True),
     )

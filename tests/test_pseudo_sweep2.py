@@ -93,7 +93,7 @@ def test_stage22_nonzero_loss_and_grad():
     # perturb features so the L2-to-pseudo loss cannot be exactly zero
     gs2 = dataclasses.replace(gs, ins_feat=gs.ins_feat * 0.5)
     feat_before = np.asarray(gs2.ins_feat).copy()  # stage22_step donates gs2
-    new_state, _, loss, ok = stage22_step(
+    new_state, _, loss, ok, _lost = stage22_step(
         gs2, adam, kms, bundle, jnp.int32(0), jnp.int32(1), jnp.zeros(3),
         jnp.float32(1.0), labels.feat[0], jnp.int32(0),
         labels.cluster_occur[0, 0], RCFG, ocfg, False,
