@@ -34,12 +34,20 @@ N_GAUSS = 200_000
 TIMED_ITERS = 20
 
 
-def main():
+def make_workload(scale: float = 0.088, backend: str | None = None):
+    """Build the synthetic benchmark workload -> (state, cam, rcfg, gt, bg,
+    make_fwd_bwd). scale sets the depth complexity: 0.088 lands in the upper
+    half of the trained-scene band (~450k tile intersections, the calibrated
+    metric); 0.15 reproduces the r1-heavy ~110-complexity variant (~650k).
+    Shared by bench.py and tools/trace_step.py."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from opengaussian_tpu.cameras import Camera
     from opengaussian_tpu.models.gaussians import create_from_pcd
+    from opengaussian_tpu.ops import budget
     from opengaussian_tpu.ops.rasterize import RasterizeConfig
     from opengaussian_tpu.render import render
     from opengaussian_tpu.train import losses
@@ -51,29 +59,19 @@ def main():
     ).astype(np.float32)
     cols = rng.uniform(0, 1, (N_GAUSS, 3)).astype(np.float32)
     base_state = create_from_pcd(pts, cols, capacity=N_GAUSS, seed=0)
-    import dataclasses
-    import jax
-
-    def make_state(scale):
-        # compact splats, broad opacity distribution (raw KNN-init scales on
-        # a sparse random cloud are unrealistically fat). scale sets the
-        # depth complexity: 0.088 lands in the upper half of the trained
-        # band (~450k intersections, the calibrated metric); 0.15
-        # reproduces the r1-heavy ~110-complexity variant (~650k).
-        return dataclasses.replace(
-            base_state,
-            log_scales=base_state.log_scales + np.log(scale),
-            logit_opacity=jnp.asarray(
-                rng.normal(0.0, 2.0, N_GAUSS).astype(np.float32)),
-        )
-
-    state = make_state(0.088)
-    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, WIDTH, HEIGHT)
-    from opengaussian_tpu.ops import budget
-
-    rcfg = budget.tuned_config(
-        RasterizeConfig(max_per_tile=1024, chunk=64), state, [cam]
+    # compact splats, broad opacity distribution (raw KNN-init scales on
+    # a sparse random cloud are unrealistically fat)
+    state = dataclasses.replace(
+        base_state,
+        log_scales=base_state.log_scales + np.log(scale),
+        logit_opacity=jnp.asarray(
+            rng.normal(0.0, 2.0, N_GAUSS).astype(np.float32)),
     )
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, WIDTH, HEIGHT)
+    base_cfg = RasterizeConfig(max_per_tile=1024, chunk=64)
+    if backend is not None:
+        base_cfg = dataclasses.replace(base_cfg, backend=backend)
+    rcfg = budget.tuned_config(base_cfg, state, [cam])
     bg = jnp.zeros(3)
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
 
@@ -89,6 +87,23 @@ def main():
 
         return fwd_bwd
 
+    return state, cam, rcfg, gt, bg, make_fwd_bwd
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from opengaussian_tpu.cameras import Camera
+    from opengaussian_tpu.ops import budget
+    from opengaussian_tpu.ops.rasterize import RasterizeConfig
+    from opengaussian_tpu.render import render
+    from opengaussian_tpu.train import losses
+
+    rng = np.random.default_rng(1)
+    state, cam, rcfg, gt, bg, make_fwd_bwd = make_workload(0.088)
     fwd_bwd = make_fwd_bwd(rcfg)
 
     # budget health: the tuned budgets must lose nothing
@@ -155,11 +170,8 @@ def main():
 
     # r1-heavy continuity number (~110 depth complexity, ~2x the anchor's
     # trained-scene load) — informational only
-    heavy = make_state(0.15)
-    hcfg = budget.tuned_config(
-        RasterizeConfig(max_per_tile=1024, chunk=64), heavy, [cam]
-    )
-    heavy_mpix = timed(make_fwd_bwd(hcfg), heavy)
+    heavy, _, hcfg, _, _, mk_heavy = make_workload(0.15)
+    heavy_mpix = timed(mk_heavy(hcfg), heavy)
     print(f"# r1-heavy workload: {heavy_mpix:.3f} Mpix/s "
           f"(vs_baseline {heavy_mpix / BASELINE_MPIX_S:.3f})",
           file=sys.stderr, flush=True)

@@ -11,9 +11,11 @@ Behavioral rewrite of the reference's MultiViewSAMMaskRefiner
     anchor mints a global id unifying its per-view winners
     (sam_refinement_utils.py:902-913, 1055-1115);
   stage 2 (mask expansion): every splat votes its dominant global id per
-    camera; footprint weights accumulate into a per-pixel [H, W, num_ids]
-    tensor; the refined mask is the per-pixel argmax with weight < 0.5 -> -1
-    (sam_refinement_utils.py:915-942, 1221-1302).
+    camera; the winner is the camera-majority id; in cameras where the
+    per-view dominant equals the winner, base-mask pixels take the 1.0 init
+    plus +1 per contributing splat while footprint weights accumulate on
+    EXTENSION pixels only; the refined mask is the per-pixel argmax with
+    weight < 0.5 -> -1 (sam_refinement_utils.py:915-942, 1221-1302).
 
 The reference renders ONE rasterization per (splat, visible camera) — its
 own comments call this astronomically slow. Here both the per-splat vote
@@ -21,6 +23,19 @@ own comments call this astronomically slow. Here both the per-splat vote
 ALL splats of a camera at once by reusing the tile rasterizer's binning:
 per tile chunk, footprint alphas [Kc, 256] contract with one-hot mask ids
 [256, M] on the MXU, so a camera costs O(one render) instead of O(N renders).
+
+Documented deviations from the reference (tests/test_refiner_golden.py pins
+everything else):
+  * the void id (-1 / here 0) never votes and is never expanded — the
+    reference lets void win a splat's weighted bincount and then grows the
+    void segment (:679-703), which merges unrelated background regions;
+  * stage-1 id sync merges TRANSITIVELY: an anchor adopting an
+    already-claimed (view, id) pair links its remaining pairs into that
+    global id, where the reference's first-claim sync (:1096-1112) leaves
+    them under a fresh id (no merge across anchors);
+  * vote ties across cameras break toward the earliest camera (reference
+    dict-insertion max), and within a view's weighted bincount toward the
+    smallest id (np.argmax) vs torch.argmax (same rule).
 """
 
 from __future__ import annotations
@@ -110,17 +125,26 @@ def pixel_weight_accumulation(
     gs: GaussianState,
     camera: Camera,
     splat_global_id: jnp.ndarray,  # [N] int32 (0 = unassigned, 1..M)
-    visible: jnp.ndarray,  # [N] bool (this camera)
+    contrib: jnp.ndarray,  # [N] bool: visible AND per-cam dominant == winner
+    synced_mask: jnp.ndarray,  # [H, W] int32 per-pixel global id (0 = void)
+    n_match: jnp.ndarray,  # [M] float: contributing-splat count per id
     max_ids: int,
     config: RasterizeConfig,
 ):
-    """Stage-2 accumulation: -> weights [H, W, M] = sum over visible splats
-    of footprint alpha onto their global id."""
+    """Stage-2 accumulation with the reference's semantics
+    (sam_refinement_utils.py:928-940 init, :1022-1035 base/extension split):
+
+      weights[p, g] = base[p, g] * (1 + n_match[g])
+                      + (1 - base[p, g]) * sum_{contributing splats of g} alpha
+
+    base[p, g] = (synced_mask[p] == g): base-mask pixels get the 1.0 init
+    plus +1 per contributing splat; footprint alpha lands only on EXTENSION
+    pixels (outside the winner's base mask)."""
     cov3d = build_cov3d(gs.scales, gs.quats)
     proj, bins, pix, (grid_x, grid_y) = _prepare(
         camera, gs.means, cov3d, config, None, force_dense=True
     )
-    opac = jnp.where(proj.valid & gs.alive & visible & (splat_global_id > 0),
+    opac = jnp.where(proj.valid & gs.alive & contrib & (splat_global_id > 0),
                      gs.opacity, 0.0)
     gid_onehot_table = splat_global_id  # gathered per chunk below
 
@@ -148,7 +172,10 @@ def pixel_weight_accumulation(
     H, W = camera.height, camera.width
     acc = acc.reshape(grid_y, grid_x, TILE, TILE, max_ids)
     acc = acc.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, max_ids)
-    return acc[:H, :W]
+    acc = acc[:H, :W]  # [H, W, M] total footprint alpha per id
+    base = (synced_mask[:, :, None] ==
+            jnp.arange(1, max_ids + 1)[None, None, :]).astype(jnp.float32)
+    return base * (1.0 + n_match[None, None, :]) + (1.0 - base) * acc
 
 
 def refine_sam_masks(
@@ -221,28 +248,48 @@ def refine_sam_masks(
         next_gid += len(fresh)
     n_gids = next_gid - 1
 
-    # per-splat dominant GLOBAL id across its visible views; the local->global
-    # column accumulation is one np.add.at per view (duplicate-safe), not an
-    # M-iteration python loop
+    # per-view dominant GLOBAL id per splat (footprint-weighted vote within
+    # each view, reference get_most_common_id_in_mask_weighted:653-703, with
+    # the local->global remap summing columns that the sync merged). The
+    # column accumulation is one np.add.at per view, not an M-iteration loop.
     n = gs.capacity
-    gvotes = np.zeros((n, n_gids + 1), np.float32)
+    dom = np.zeros((V, n), np.int32)  # 0 = no vote in this view
     for v in range(V):
         remap = local2global[v]  # [max_ids+1]
         cols = remap[1:]  # global id of local ids 1..M
         keep = cols > 0
-        if not keep.any():
-            continue
-        w = votes_all[v] * vis_all[v][:, None]  # [N, M]
-        np.add.at(gvotes.T, cols[keep], w[:, keep].T)
-    splat_gid = np.where(gvotes[:, 1:].max(axis=1) > 0,
-                         gvotes[:, 1:].argmax(axis=1) + 1, 0).astype(np.int32)
+        gv = np.zeros((n, n_gids + 1), np.float32)
+        if keep.any():
+            np.add.at(gv.T, cols[keep], votes_all[v][:, keep].T)
+        has = (gv[:, 1:].max(axis=1) > 0) & vis_all[v]
+        dom[v] = np.where(has, gv[:, 1:].argmax(axis=1) + 1, 0)
 
-    # stage 2: per-camera expansion + argmax
+    # winner per splat: MAJORITY over per-view dominants (reference
+    # expand_masks:1005-1020 counts one vote per camera; max() over the
+    # insertion-ordered dict returns the earliest camera's id on ties, which
+    # the strictly-greater update below reproduces)
+    best_cnt = np.zeros(n, np.int64)
+    splat_gid = np.zeros(n, np.int32)
+    for v in range(V):
+        c = dom[v]
+        cnt_v = ((dom == c[None, :]) & (c[None, :] > 0)).sum(axis=0)
+        better = cnt_v > best_cnt
+        best_cnt = np.where(better, cnt_v, best_cnt)
+        splat_gid = np.where(better, c, splat_gid)
+
+    # stage 2: per-camera expansion + argmax. A splat contributes to camera v
+    # only where its per-view dominant id equals its global winner
+    # (reference expand_masks:1021-1035).
     refined = np.full_like(sam_ids, -1, dtype=np.int64)
     gid_j = jnp.asarray(splat_gid)
     for v in range(V):
+        match_v = (dom[v] == splat_gid) & (splat_gid > 0)
+        n_match = np.bincount(splat_gid[match_v],
+                              minlength=n_gids + 1)[1:].astype(np.float32)
+        synced_v = local2global[v][sam_ids[v]].astype(np.int32)
         weights = pixel_weight_accumulation(
-            gs, cameras[v], gid_j, jnp.asarray(vis_all[v]), n_gids, config
+            gs, cameras[v], gid_j, jnp.asarray(match_v),
+            jnp.asarray(synced_v), jnp.asarray(n_match), n_gids, config,
         )
         wnp = np.asarray(weights)
         best = wnp.argmax(axis=-1)

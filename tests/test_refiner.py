@@ -36,9 +36,18 @@ def two_blob_scene():
 
 def sam_from_silhouettes(st, cams):
     """Per-view SAM ids: left blob id, right blob id — with DIFFERENT local
-    ids per view to exercise the cross-view sync."""
+    ids per view to exercise the cross-view sync. Gated by the rendered
+    silhouette (uncovered pixels are void, like real SAM masks): the
+    reference keeps every base-mask pixel above the 0.5 expansion threshold
+    (init 1.0, sam_refinement_utils.py:928-940), so a mask painted over
+    empty sky would survive refinement verbatim."""
     out = []
     for i, cam in enumerate(cams):
+        r = rasterize(
+            cam, st.means, build_cov3d(st.scales, st.quats), st.opacity,
+            jnp.zeros((st.capacity, 1)), jnp.zeros(1), CFG,
+        )
+        sil = np.asarray(r.alpha) > 0.3
         ids = np.zeros((48, 64), np.int64)
         # left half of the image sees blob A, right half blob B
         if i == 0:
@@ -47,7 +56,7 @@ def sam_from_silhouettes(st, cams):
         else:
             ids[:, :32] = 2  # swapped local ids in view 2
             ids[:, 32:] = 1
-        out.append(ids)
+        out.append(np.where(sil, ids, 0))
     return np.stack(out)
 
 

