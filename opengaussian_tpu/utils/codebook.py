@@ -39,13 +39,36 @@ def save_codebook(out_dir: str, centers: np.ndarray, indices: np.ndarray, param:
         dict(params=[param], n_bits=n_bits, total_len=int(indices.size * n_bits)),
     )
     np.save(os.path.join(out_dir, "kmeans_centers.npy"), np.asarray(centers))
+    # reference-readable twin: the reference's load_code_book expects a
+    # torch-saved {param: tensor} dict (train.py:100); emit it when torch is
+    # importable so reference tooling can consume this repo's artifacts
+    try:
+        import torch
+
+        torch.save({param: torch.from_numpy(np.asarray(centers).copy())},
+                   os.path.join(out_dir, "kmeans_centers.pth"))
+    except ImportError:
+        pass
 
 
 def load_codebook(base_path: str):
-    """-> (centers [k, d], indices [N])."""
+    """-> (centers [k, d], indices [N]). Reads this repo's .npy centers or a
+    reference-written kmeans_centers.pth ({param: tensor} torch dict,
+    reference train.py:100 / utils/opengs_utlis.py:68-88); the bin/args pair
+    is bit-compatible in both directions (n_bits comes from the args file,
+    covering the reference's ceil(log2(N)) sizing quirk)."""
     args = np.load(os.path.join(base_path, "kmeans_args.npy"), allow_pickle=True).item()
     with open(os.path.join(base_path, "kmeans_inds.bin"), "rb") as f:
         data = f.read()
     inds = _unpack_bits(data, args["total_len"], args["n_bits"])
-    centers = np.load(os.path.join(base_path, "kmeans_centers.npy"))
+    npy = os.path.join(base_path, "kmeans_centers.npy")
+    if os.path.exists(npy):
+        centers = np.load(npy)
+    else:
+        import torch
+
+        d = torch.load(os.path.join(base_path, "kmeans_centers.pth"),
+                       map_location="cpu", weights_only=False)
+        key = args["params"][0] if args["params"][0] in d else next(iter(d))
+        centers = np.asarray(d[key].detach().cpu().numpy(), np.float32)
     return centers, inds.reshape(len(args["params"]), -1)[0]
