@@ -66,7 +66,12 @@ def receive():
         return None, msg["train"], msg["keep_alive"], msg["scaling_modifier"]
     fovy, fovx = msg["fov_y"], msg["fov_x"]
     znear, zfar = msg["z_near"], msg["z_far"]
-    w2c = np.reshape(np.asarray(msg["view_matrix"], np.float32), (4, 4)).T
+    # SIBR sends the transposed w2c with flipped Y/Z axes; undo exactly like
+    # the reference (network_gui.py:74-76 negates columns 1,2 before use)
+    m = np.reshape(np.asarray(msg["view_matrix"], np.float32), (4, 4)).copy()
+    m[:, 1] = -m[:, 1]
+    m[:, 2] = -m[:, 2]
+    w2c = m.T
     cam = dict(width=width, height=height, fovx=fovx, fovy=fovy,
                znear=znear, zfar=zfar, w2c=w2c)
     return cam, msg["train"], msg["keep_alive"], msg["scaling_modifier"]
