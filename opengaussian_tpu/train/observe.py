@@ -46,6 +46,39 @@ def dump_frequency(stage: str) -> int:
     return 100 if stage == "2.2" else 1000  # reference train.py:504-506
 
 
+def _render_sharded_dump(trainer, cam, stage: str, quant):
+    """RGB + (optionally) instance-feature images via parallel/render, the
+    splats staying device-sharded. Matches the single-device render() output
+    fields the dump consumes (render / ins_feat / silhouette)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from opengaussian_tpu.ops.projection import build_cov3d
+    from opengaussian_tpu.ops.sh import sh_to_rgb
+    from opengaussian_tpu.parallel.render import render_sharded
+    from opengaussian_tpu.render import RenderOutputs, encoded_ins_feat
+
+    gs = trainer.state
+    cov = build_cov3d(gs.scales, gs.quats)
+    rgb = sh_to_rgb(3, gs.sh, gs.means, cam.cam_center)
+    if stage == "0":
+        payload, fbg = rgb, trainer.bg
+    else:
+        payload = jnp.concatenate(
+            [rgb, encoded_ins_feat(gs, quant, origin_feat=False)], axis=-1
+        )
+        fbg = jnp.concatenate([trainer.bg] * 3)
+    img, alpha, _d, _r, _l = render_sharded(
+        trainer.mesh, cam, gs.means, cov, gs.opacity, payload, fbg,
+        trainer.rcfg,
+    )
+    out = RenderOutputs(render=img[..., :3], alpha=alpha)
+    if stage != "0":
+        out = _dc.replace(out, ins_feat=img[..., 3:9], silhouette=alpha)
+    return out
+
+
 def dump_intermediate(trainer, it: int, stage: str, view_idx: int):
     """Save the reference's train_process/ artifact set for one view."""
     import jax.numpy as jnp
@@ -69,11 +102,16 @@ def dump_intermediate(trainer, it: int, stage: str, view_idx: int):
         quant = km.quantize(trainer.kms, trainer.state.ins_feat, "root")
     elif stage == "2.2":
         quant = km.quantize(trainer.kms, trainer.state.ins_feat, "leaf")
-    out = render(
-        cam, trainer.state, trainer.bg, 3, trainer.rcfg,
-        render_color=True, render_feat_map=stage != "0",
-        quantized_feat=quant,
-    )
+    if trainer.mesh is not None:
+        # gather-free twin: one fused RGB(+feat) pass through the sharded
+        # renderer instead of pulling the state to a single device
+        out = _render_sharded_dump(trainer, cam, stage, quant)
+    else:
+        out = render(
+            cam, trainer.state, trainer.bg, 3, trainer.rcfg,
+            render_color=True, render_feat_map=stage != "0",
+            quantized_feat=quant,
+        )
     tag = f"{it:05d}"
     _save_png(os.path.join(base, "gt", tag + ".png"),
               np.asarray(b.gt_images[view_idx]))

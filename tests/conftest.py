@@ -43,6 +43,7 @@ SLOW_TESTS = {
     "test_pallas_multichannel",
     "test_pallas_early_termination_heavy_overdraw",
     "test_toy_training_improves_psnr",
+    "test_dump_intermediate_sharded_matches_single",
 }
 
 

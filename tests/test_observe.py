@@ -77,3 +77,38 @@ def test_mask_palette_stable():
     b = mask_palette(5)
     np.testing.assert_array_equal(a[:6], b[:6])
     assert (a[0] == 0).all()
+
+
+def test_dump_intermediate_sharded_matches_single(scene_dir, tmp_path):
+    """Under Trainer(mesh=...) the dump renders through parallel/render
+    without gathering, and the PNGs match the single-device dump."""
+    from PIL import Image
+
+    from opengaussian_tpu.parallel.mesh import make_mesh
+    from opengaussian_tpu.train import observe
+
+    scene = dataset.load_scene(scene_dir)
+    tiny = OptimizationConfig(
+        iterations=40, start_ins_feat_iter=10, start_root_cb_iter=20,
+        start_leaf_cb_iter=30, root_node_num=4, leaf_node_num=3,
+        densify_from_iter=1000, sam_level=3,
+    )
+    out_m = str(tmp_path / "mesh")
+    tr = Trainer(scene, Config(model=ModelConfig(), opt=tiny), out_m,
+                 rcfg=RCFG, autotune_budgets=False, mesh=make_mesh(8))
+    tr.train(until=25, log_every=100)
+    tr._ensure_pseudo("root")
+    observe.dump_intermediate(tr, 21, "2.1", 0)
+    assert len(tr.state.means.sharding.device_set) == 8  # stayed sharded
+
+    # single-device twin on the SAME trained state
+    out_s = str(tmp_path / "single")
+    tr.mesh = None
+    tr.out_dir = out_s
+    observe.dump_intermediate(tr, 21, "2.1", 0)
+
+    for rel in ("renders/00021.png", "stage2_1/ins_feat/00021.png",
+                "stage2_1/silhouette/00021.png"):
+        a = np.asarray(Image.open(f"{out_m}/train_process/{rel}")).astype(int)
+        b = np.asarray(Image.open(f"{out_s}/train_process/{rel}")).astype(int)
+        assert np.abs(a - b).max() <= 1, rel  # 8-bit rounding only

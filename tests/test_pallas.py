@@ -109,3 +109,30 @@ def test_pallas_group_renders_match_xla():
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(b.alpha), np.asarray(a.alpha),
                                atol=3e-5)
+
+
+def test_sorted_segment_reduce_matches_scatter():
+    """The sort+windowed-one-hot-MXU per-splat reduction (the replacement
+    for the backward's segment_sum scatter, VERDICT r2 item 1) must match
+    jax.ops.segment_sum bit-for-bit-close, including dropped out-of-range
+    ids and ids on window boundaries."""
+    import numpy as np
+
+    from opengaussian_tpu.ops.rasterize_pallas import (
+        WSEG,
+        sorted_segment_reduce,
+    )
+
+    rng = np.random.default_rng(5)
+    for R, n in [(3000, 700), (5000, WSEG * 2), (2000, 33)]:
+        rows = jnp.asarray(rng.normal(0, 1, (R, 11)).astype(np.float32))
+        # n = the drop sentinel for dead chunks; boundary ids stressed
+        ids = rng.integers(0, n + 1, R)
+        ids[:50] = np.clip([0, n - 1, WSEG - 1, WSEG, n], 0, n)[
+            rng.integers(0, 5, 50)
+        ]
+        ids = jnp.asarray(ids.astype(np.int32))
+        got = sorted_segment_reduce(rows, ids, n)
+        want = jax.ops.segment_sum(rows, ids, num_segments=n)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
