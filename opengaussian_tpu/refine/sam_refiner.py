@@ -185,6 +185,7 @@ def refine_sam_masks(
     config: RasterizeConfig = RasterizeConfig(),
     anchor_stride: int = ANCHOR_STRIDE,
     bg=None,
+    trace=None,  # refine/introspect.RefinerTrace, or None
 ) -> np.ndarray:
     """-> refined [V, H, W] cross-view-consistent ids (-1 void, like the
     reference's final masks)."""
@@ -193,6 +194,8 @@ def refine_sam_masks(
     if max_ids == 0:
         return np.where(sam_ids > 0, sam_ids, -1)
     bg = jnp.zeros(3) if bg is None else bg
+    if trace is not None:
+        trace.log_scene(gs.means, gs.alive)
 
     # per-camera depth maps + per-splat votes/visibility
     votes_all, vis_all = [], []
@@ -207,6 +210,8 @@ def refine_sam_masks(
         )
         votes_all.append(np.asarray(votes))
         vis_all.append(np.asarray(vis))
+        if trace is not None:
+            trace.log_depth(v, np.asarray(depth), vis_all[-1])
     votes_all = np.stack(votes_all)  # [V, N, M]
     vis_all = np.stack(vis_all)  # [V, N]
 
@@ -247,6 +252,8 @@ def refine_sam_masks(
         local2global[v, fresh] = next_gid + np.arange(len(fresh), dtype=np.int32)
         next_gid += len(fresh)
     n_gids = next_gid - 1
+    if trace is not None:
+        trace.log_stage1(anchors, win_lid, local2global, n_gids)
 
     # per-view dominant GLOBAL id per splat (footprint-weighted vote within
     # each view, reference get_most_common_id_in_mask_weighted:653-703, with
@@ -295,4 +302,8 @@ def refine_sam_masks(
         best = wnp.argmax(axis=-1)
         wmax = wnp.max(axis=-1)
         refined[v] = np.where(wmax >= EXPANSION_THRESHOLD, best + 1, -1)
+        if trace is not None:
+            trace.log_stage2(v, dom[v], splat_gid, wnp)
+    if trace is not None:
+        trace.write(refined)
     return refined

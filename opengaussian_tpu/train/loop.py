@@ -991,8 +991,14 @@ class Trainer:
 
         print("Applying multi-view SAM mask refinement...", flush=True)
         cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
+        trace = None
+        if self.save_intermediate:
+            from opengaussian_tpu.refine.introspect import RefinerTrace
+
+            trace = RefinerTrace(self.out_dir)
         refined = refine_sam_masks(
-            self.state, cams, np.asarray(self.bundle.sam_ids), self.rcfg
+            self.state, cams, np.asarray(self.bundle.sam_ids), self.rcfg,
+            trace=trace,
         )
         ids = np.maximum(refined, 0).astype(np.int32)  # -1 void -> 0 invalid
         new_max = int(np.ceil(max(int(ids.max()), 8) / 8) * 8)

@@ -169,3 +169,30 @@ def test_refine_produces_consistent_ids():
     assert np.bincount(idsb).argmax() != np.bincount(ids0).argmax()
     # uncovered pixels are void
     assert (refined[0][0:4, 0:4] == -1).all()
+
+
+def test_refiner_trace_artifacts(tmp_path):
+    """RefinerTrace (refine/introspect.py) writes the stage-by-stage
+    artifact set — the headless counterpart of the reference's rerun
+    streaming (sam_refinement_utils.py:716-724, sam_refinement_multistage.rbl)."""
+    import json
+    import os
+
+    from opengaussian_tpu.refine.introspect import RefinerTrace
+
+    st, cams = two_blob_scene()
+    sam = sam_from_silhouettes(st, cams)
+    trace = RefinerTrace(str(tmp_path))
+    refine_sam_masks(st, cams, sam, CFG, anchor_stride=1, trace=trace)
+    base = str(tmp_path / "refine_trace")
+    for f in ("depth_0.png", "depth_1.png", "stage1_sync.npz",
+              "dominant_0.png", "refined_0.png", "refined_1.png",
+              "summary.json"):
+        assert os.path.exists(os.path.join(base, f)), f
+    s = json.load(open(os.path.join(base, "summary.json")))
+    assert s["n_anchors"] > 0 and s["n_global_ids"] >= 2
+    assert len(s["visible_per_view"]) == 2
+    import numpy as _np
+
+    z = _np.load(os.path.join(base, "stage1_sync.npz"))
+    assert z["local2global"].shape == (2, int(sam.max()) + 1)
