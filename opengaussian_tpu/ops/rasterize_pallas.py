@@ -20,7 +20,10 @@ stop below T=1e-4), restructured for the TPU memory hierarchy:
   * the backward kernel replays the forward (storing only final T and the
     premultiplied accumulation, like the reference CUDA backward) and emits
     per-slot gradients in the dense [T, K] layout; the wrapper compacts the
-    live chunks and segment-sums by splat id.
+    live chunks and reduces them per splat — either via segment_sum
+    (REDUCE_BACKEND="scatter") or via sort + windowed one-hot MXU
+    contraction ("sorted_mxu", `sorted_segment_reduce`; tools/ab_reduce.py
+    A/Bs the two on chip).
 
 TWO input layouts exist:
 
