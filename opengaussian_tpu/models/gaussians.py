@@ -137,7 +137,11 @@ def round_capacity(n: int, multiple: int = 4096) -> int:
 def knn_mean_sq_dist(points: np.ndarray, k: int = 3) -> np.ndarray:
     """Mean squared distance to the k nearest neighbors (scale init).
     Replaces simple-knn's distCUDA2, matching the fork's own CPU KDTree
-    replacement (reference scene/gaussian_model.py:20-36)."""
+    replacement (reference scene/gaussian_model.py:20-36). scipy's cKDTree
+    is already native C with parallel queries; a bespoke C++ OpenMP
+    grid-hash kNN was measured 2-10x SLOWER here (uniform grids lose to
+    adaptive trees on the non-uniform densities of real SfM clouds), so it
+    was dropped rather than shipped."""
     from scipy.spatial import KDTree
 
     d, _ = KDTree(points).query(points, k=k + 1, workers=-1)
