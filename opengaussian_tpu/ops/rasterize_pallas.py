@@ -793,19 +793,22 @@ def _reduce_kernel(nch_ref, lo_ref, rows_ref, out_ref, scratch, sems, *,
                    f16, id_row):
     w = pl.program_id(0)
     base = w * WSEG
-    lo = lo_ref[w]
+    lo = lo_ref[w]  # first chunk index of this window
     nch = nch_ref[w]
 
+    # rows_ref is chunk-blocked [NCH, F16, RCH]: the dynamic DMA offset sits
+    # on the LEADING axis (the layout the stream kernels already exercise on
+    # Mosaic) instead of a dynamic minor-dim offset
     def issue(c, buf):
         pltpu.make_async_copy(
-            rows_ref.at[:, pl.ds(lo + c * RCH, RCH)],
+            rows_ref.at[pl.ds(lo + c, 1), :, :],
             scratch.at[buf],
             sems.at[buf],
         ).start()
 
     def wait(c, buf):
         pltpu.make_async_copy(
-            rows_ref.at[:, pl.ds(lo + c * RCH, RCH)],
+            rows_ref.at[pl.ds(lo + c, 1), :, :],
             scratch.at[buf],
             sems.at[buf],
         ).wait()
@@ -826,7 +829,7 @@ def _reduce_kernel(nch_ref, lo_ref, rows_ref, out_ref, scratch, sems, *,
             issue(c + 1, (c + 1) % 2)
 
         wait(c, c % 2)
-        vals = scratch[c % 2]  # [F16, RCH]
+        vals = scratch[c % 2, 0]  # [F16, RCH]
         ids = vals[id_row:id_row + 1, :]  # [1, RCH] f32 (exact ints)
         col = jax.lax.broadcasted_iota(jnp.float32, (WSEG, RCH), 0)
         # arithmetic broadcast [1,RCH]-[WSEG,RCH] is supported (sublane
@@ -857,7 +860,8 @@ def sorted_segment_reduce(rows, ids, n: int):
         num_keys=1, is_stable=False,
     )
     ids_s = ops[0]
-    ppad = -(-R // RCH) * RCH + RCH
+    nch_tot = -(-R // RCH) + 1  # one extra all-sentinel chunk for over-reads
+    ppad = nch_tot * RCH
     sentinel = jnp.int32(2**24)
     ids_pad = jnp.concatenate(
         [ids_s, jnp.full((ppad - R,), sentinel, jnp.int32)]
@@ -865,16 +869,19 @@ def sorted_segment_reduce(rows, ids, n: int):
     # drop-sentineled rows (dead chunks aim at id >= n) also mask via the
     # one-hot, but their ids must stay exact in f32
     ids_pad = jnp.minimum(ids_pad, sentinel)
-    rows_t = jnp.zeros((f16, ppad), jnp.float32)
+    rows_b = jnp.zeros((nch_tot, f16, RCH), jnp.float32)
     for i in range(F):
-        rows_t = rows_t.at[i, :R].set(ops[1 + i])
-    rows_t = rows_t.at[F].set(ids_pad.astype(jnp.float32))
+        col = jnp.pad(ops[1 + i], (0, ppad - R)).reshape(nch_tot, RCH)
+        rows_b = rows_b.at[:, i, :].set(col)
+    rows_b = rows_b.at[:, F, :].set(
+        ids_pad.astype(jnp.float32).reshape(nch_tot, RCH)
+    )
 
     bounds = jnp.searchsorted(
         ids_s, jnp.arange(nw + 1, dtype=jnp.int32) * WSEG
     ).astype(jnp.int32)
-    lo = bounds[:-1] // RCH * RCH  # chunk-aligned window starts
-    nch = jnp.maximum(-(-(bounds[1:] - lo) // RCH), 0)
+    lo = bounds[:-1] // RCH  # first chunk index per window
+    nch = jnp.maximum(-(-(bounds[1:] - lo * RCH) // RCH), 0)
 
     kern = functools.partial(_reduce_kernel, f16=f16, id_row=F)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -886,7 +893,7 @@ def sorted_segment_reduce(rows, ids, n: int):
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, f16, RCH), jnp.float32),
+            pltpu.VMEM((2, 1, f16, RCH), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -895,7 +902,7 @@ def sorted_segment_reduce(rows, ids, n: int):
         out_shape=(jax.ShapeDtypeStruct((nw, f16, WSEG), jnp.float32),),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
-    )(nch, lo, rows_t)
+    )(nch, lo, rows_b)
     return out.transpose(0, 2, 1).reshape(nw * WSEG, f16)[:n, :F]
 
 
