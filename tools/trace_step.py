@@ -60,14 +60,21 @@ def parse_trace(trace_dir: str):
         pn = pid_name.get(e.get("pid"), "")
         tn = tid_name.get((e.get("pid"), e.get("tid")), "")
         hay = (pn + " " + tn).lower()
-        return ("tpu" in hay or "device" in hay or "/device" in hay) and \
-            "host" not in hay
+        return ("tpu" in hay or "device" in hay) and "host" not in hay
 
-    agg = defaultdict(float)
-    for e in events:
-        if e.get("ph") == "X" and e.get("dur") and on_device(e):
-            agg[e["name"]] += e["dur"]
-    return sorted(agg.items(), key=lambda kv: -kv[1])
+    def on_xla_host(e):
+        # CPU-backend fallback: XLA client threads on the /host track
+        tn = tid_name.get((e.get("pid"), e.get("tid")), "")
+        return "xla" in tn.lower()
+
+    for pred in (on_device, on_xla_host):
+        agg = defaultdict(float)
+        for e in events:
+            if e.get("ph") == "X" and e.get("dur") and pred(e):
+                agg[e["name"]] += e["dur"]
+        if agg:
+            return sorted(agg.items(), key=lambda kv: -kv[1])
+    return []
 
 
 PHASES = [
