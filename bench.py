@@ -97,8 +97,6 @@ def main():
     import jax.numpy as jnp
 
     from opengaussian_tpu.cameras import Camera
-    from opengaussian_tpu.ops import budget
-    from opengaussian_tpu.ops.rasterize import RasterizeConfig
     from opengaussian_tpu.render import render
     from opengaussian_tpu.train import losses
 

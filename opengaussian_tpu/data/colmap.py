@@ -113,9 +113,19 @@ def read_points3d_binary(path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     offsets = np.empty(n, np.int64)
     p = 0
     for i in range(n):
+        if p + 51 > len(buf):
+            raise ValueError(
+                f"truncated points3D file: record {i}/{n} at offset {p}, "
+                f"file has {len(buf)} payload bytes"
+            )
         offsets[i] = p
         ntrack = int.from_bytes(buf[p + 43:p + 51], "little")
         p += 51 + 8 * ntrack
+    if p > len(buf):
+        raise ValueError(
+            f"truncated points3D file: last track list runs to {p}, "
+            f"file has {len(buf)} payload bytes"
+        )
     data = np.frombuffer(buf, np.uint8)
     hdr = data[offsets[:, None] + np.arange(43)[None, :]]  # [n, 43] copies
     f64 = np.ascontiguousarray(hdr[:, 8:32]).view("<f8").reshape(n, 3)

@@ -59,6 +59,11 @@ class RasterizeConfig:
     # gather/scatter in binning); "dense" = the round-1 [T, K, F] BlockSpec
     # staging (always used for vmapped group renders)
     pallas_input: str = "stream"
+    # backward per-splat gradient reduction (stream path): "scatter" =
+    # jax.ops.segment_sum; "sorted_mxu" = sort-by-id + windowed one-hot MXU
+    # contraction (rasterize_pallas.sorted_segment_reduce); "auto" = the
+    # module default (rasterize_pallas.REDUCE_BACKEND)
+    reduce_backend: str = "auto"
 
     def max_intersections(self, n: int) -> int:
         if self.intersection_budget:
@@ -328,6 +333,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
             grid_x,
             max_chunks,
             config.max_per_tile,
+            config.reduce_backend,
         )
     elif config.use_pallas():
         from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas

@@ -664,10 +664,11 @@ def blend_stream_pallas_bwd(rows, counts, tstart, accum, t_final, g_accum,
       t_final[:, None, :], ga_total[:, None, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def blend_tiles_pallas_stream(mean2d, conic, opac, payload, sorted_carry,
                               stream_ids, tstart, counts, tile_offset, chunk,
-                              grid_x, max_chunks, max_per_tile):
+                              grid_x, max_chunks, max_per_tile,
+                              reduce_backend="auto"):
     """sorted_carry: tuple of [P] f32 columns in sorted-slot order —
     (mean2d x/y, conic a/b/c, opac, payload..C) delivered by
     bin_gaussians(carry=...). mean2d/conic/opac/payload are the per-splat
@@ -675,13 +676,13 @@ def blend_tiles_pallas_stream(mean2d, conic, opac, payload, sorted_carry,
     computes their gradients by per-splat reduction)."""
     out, _ = _stream_fwd(mean2d, conic, opac, payload, sorted_carry,
                          stream_ids, tstart, counts, tile_offset, chunk,
-                         grid_x, max_chunks, max_per_tile)
+                         grid_x, max_chunks, max_per_tile, reduce_backend)
     return out
 
 
 def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
                 tstart, counts, tile_offset, chunk, grid_x, max_chunks,
-                max_per_tile):
+                max_per_tile, reduce_backend="auto"):
     n = payload.shape[0]
     # The splat INDEX rides the stream as one extra f32 column (exact below
     # 2^24): the backward writes it through to d_slot, so the per-splat
@@ -705,7 +706,8 @@ def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
     return (accum, t_final), res
 
 
-def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, res, cts):
+def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, reduce_backend,
+                res, cts):
     rows, tstart, counts, tile_offset, acc, t_final, n, f = res
     n_carry = f - 1  # carry columns (id column excluded)
     T = counts.shape[0]
@@ -742,7 +744,7 @@ def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, res, cts):
     # CHUNKS alias real rows (clamped gather) and must still be dropped
     ids = rows_g[:, F - 1].astype(jnp.int32).reshape(NC, chunk)
     ids = jnp.where(live[:, None], ids, n).reshape(-1)
-    per_gauss = _per_splat_reduce(rows_g[:, :F - 1], ids, n)
+    per_gauss = _per_splat_reduce(rows_g[:, :F - 1], ids, n, reduce_backend)
     per_gauss = jnp.concatenate(
         [per_gauss, jnp.zeros((n, 1), jnp.float32)], axis=-1
     )  # dead id column, keeps the slice layout below
@@ -906,16 +908,20 @@ def sorted_segment_reduce(rows, ids, n: int):
     return out.transpose(0, 2, 1).reshape(nw * WSEG, f16)[:n, :F]
 
 
-# Per-splat reduction backend: "sorted_mxu" (above) or "scatter" (the
-# original jax.ops.segment_sum). Module-level so the chip A/B in
-# tools/ can flip it without editing call sites.
+# Default per-splat reduction backend: "sorted_mxu" (above) or "scatter"
+# (the original jax.ops.segment_sum). RasterizeConfig.reduce_backend="auto"
+# resolves to this at TRACE time — the config field is the per-call-site
+# switch (part of the jit cache key); this module default only sets what
+# "auto" means.
 REDUCE_BACKEND = "scatter"  # pending on-chip Mosaic validation + A/B
 
 
-def _per_splat_reduce(rows, ids, n: int):
+def _per_splat_reduce(rows, ids, n: int, backend: str = "auto"):
+    if backend == "auto":
+        backend = REDUCE_BACKEND
     # ids ride the kernel as exact f32 -> above 2^24 splats use the scatter
     # (the binning sort has the same threshold, ops/binning.py:113)
-    if REDUCE_BACKEND == "sorted_mxu" and n <= 2**24:
+    if backend == "sorted_mxu" and n <= 2**24:
         return sorted_segment_reduce(rows, ids, n)
     if SORTED_REDUCE:
         out = jax.lax.sort(

@@ -102,8 +102,8 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             l_coh = losses.cohesion_loss(feat_img, masks, valid, means)
             l_sep = losses.separation_loss(means, valid, iteration)
             loss = l_sep + ocfg.loss_weight * l_coh
-            loss = loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
-            return loss, n_lost
+            a_term, a_lost = _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
+            return loss + a_term, jnp.maximum(n_lost, a_lost)
 
         (loss, n_lost), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params()
@@ -113,12 +113,15 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
         return state.with_params(new_p), adam, loss, n_lost
 
     def _alpha_term(gs, camera, bg, alpha_mask, has_alpha):
+        """-> (loss term, n_lost of the extra color pass) — the alpha pass
+        renders under the same tuned budgets and must feed budget health."""
         if alpha_mask is None:
-            return 0.0
-        _i, alpha, _d, _r, _l = _rgb_pass(
+            return 0.0, jnp.int32(0)
+        _i, alpha, _d, _r, lost = _rgb_pass(
             gs, camera, bg, jnp.zeros((gs.capacity, 2))
         )
-        return jnp.where(has_alpha, jnp.mean((alpha - alpha_mask) ** 2), 0.0)
+        term = jnp.where(has_alpha, jnp.mean((alpha - alpha_mask) ** 2), 0.0)
+        return term, lost
 
     @jax.jit
     def stage21(state, adam, kms, camera: Camera, pseudo_feat, alpha_mask,
@@ -130,8 +133,8 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             feat_img, sil_a, _d, _r, n_lost = _feat_pass(gs, camera, bg, rescale, q)
             keep = (sil_a > 0.7).astype(jnp.float32)[..., None]
             loss = losses.l1_loss(feat_img, pseudo_feat, keep)
-            loss = loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
-            return loss, n_lost
+            a_term, a_lost = _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
+            return loss + a_term, jnp.maximum(n_lost, a_lost)
 
         (loss, n_lost), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params()
@@ -164,8 +167,9 @@ def make_sharded_steps(mesh, rcfg: RasterizeConfig, ocfg,
             occur = (jnp.max(alpha) > 0.8) & (jnp.sum(member) >= 1)
             ok = occur & root_visible
             loss = losses.l2_loss(img, pseudo_feat, sil)
-            loss = loss + _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
-            return jnp.where(ok, loss, 0.0), (ok, n_lost)
+            a_term, a_lost = _alpha_term(gs, camera, bg, alpha_mask, has_alpha)
+            loss = loss + a_term
+            return jnp.where(ok, loss, 0.0), (ok, jnp.maximum(n_lost, a_lost))
 
         (loss, (ok, n_lost)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params()

@@ -40,7 +40,12 @@ from opengaussian_tpu.ops.rasterize import (
     _tile_pixels,
 )
 from opengaussian_tpu.parallel.render import _gather_proj
-from opengaussian_tpu.render import encoded_ins_feat
+from opengaussian_tpu.render import (
+    COARSE_SCALE_LIMIT,
+    MIN_CLUSTER_POINTS,
+    OCCUR_SIL_THRESHOLD,
+    encoded_ins_feat,
+)
 from opengaussian_tpu.train import lang as lang_mod
 from opengaussian_tpu.train import pseudo as pseudo_mod
 from opengaussian_tpu.utils import masks as masku
@@ -182,13 +187,14 @@ def make_sweep_fns(mesh: Mesh, config: RasterizeConfig, k1: int, k2: int,
         cov = build_cov3d(gs.scales, gs.quats)
         fbg = jnp.concatenate([bg, bg])
         opac_g, counts = _cluster_opacities(
-            gs, cls_ids, jnp.arange(k1), better_vis=True, scale_limit=0.5
+            gs, cls_ids, jnp.arange(k1), better_vis=True,
+            scale_limit=COARSE_SCALE_LIMIT,
         )
         imgs, alphas, _lost = render_groups_sharded(
             mesh, camera, gs.means, cov, opac_g, feat, fbg, config, axis
         )
-        valid = counts >= 100
-        occur = (jnp.max(alphas, axis=(1, 2)) > 0.8) & valid
+        valid = counts >= MIN_CLUSTER_POINTS
+        occur = (jnp.max(alphas, axis=(1, 2)) > OCCUR_SIL_THRESHOLD) & valid
         return pseudo_mod.sweep2_math(
             imgs, alphas, occur, pseudo_feat, pseudo_ids, max_masks
         )
@@ -204,7 +210,8 @@ def make_sweep_fns(mesh: Mesh, config: RasterizeConfig, k1: int, k2: int,
         def body(_, root_id):
             group_ids = root_id * k2 + jnp.arange(k2)
             opac_g, counts = _cluster_opacities(
-                gs, leaf_ids, group_ids, better_vis=False, scale_limit=0.5
+                gs, leaf_ids, group_ids, better_vis=False,
+                scale_limit=COARSE_SCALE_LIMIT,
             )
             imgs, alphas, _lost = render_groups_sharded(
                 mesh, camera, gs.means, cov, opac_g, feat, fbg, config, axis

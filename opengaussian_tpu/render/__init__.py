@@ -33,6 +33,14 @@ from opengaussian_tpu.ops.rasterize import (
 )
 from opengaussian_tpu.ops.sh import sh_to_rgb
 
+# Cluster-render semantic gates (reference gaussian_renderer/__init__.py:184,
+# :248 and train.py occur checks). Shared with the mesh-sharded sweep twins
+# (parallel/sweeps.py) so the two paths cannot drift.
+COARSE_SCALE_LIMIT = 0.5  # better_vis coarse cluster scale cull
+LEAF_SCALE_LIMIT = 0.1  # leaf-level scale cull
+MIN_CLUSTER_POINTS = 100  # coarse cluster validity
+OCCUR_SIL_THRESHOLD = 0.8  # silhouette peak for cluster_occur
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -129,8 +137,8 @@ def render_clusters(
     rescale_factor: jnp.ndarray | float = 1.0,
     extra_mask: jnp.ndarray | None = None,  # [N] bool pre_mask
     better_vis: bool = False,
-    scale_limit: float = 0.5,  # 0.5 coarse / 0.1 leaf (reference :184, :248)
-    min_points: int = 100,
+    scale_limit: float = COARSE_SCALE_LIMIT,  # 0.5 coarse / 0.1 leaf
+    min_points: int = MIN_CLUSTER_POINTS,
     payload_rgb: bool = False,  # seg_rgb mode: composite SH color instead
     active_sh_degree: int = 3,
 ) -> RenderOutputs:
@@ -170,7 +178,7 @@ def render_selection(
     payload_rgb: bool = True,
     active_sh_degree: int = 3,
     better_vis: bool = True,
-    scale_limit: float = 0.1,
+    scale_limit: float = LEAF_SCALE_LIMIT,
     min_points: int = 10,
 ) -> RenderOutputs:
     """Render one explicit subset of splats (text/click 3D object selection;
@@ -205,7 +213,7 @@ def _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points):
 
     opac = jnp.where(keep, gs.opacity[None, :], 0.0)
     r = rasterize_groups(camera, gs.means, cov3d, opac, payload, fbg, config)
-    occur = jnp.max(r.alpha, axis=(1, 2)) > 0.8
+    occur = jnp.max(r.alpha, axis=(1, 2)) > OCCUR_SIL_THRESHOLD
     return RenderOutputs(
         cluster_imgs=r.image,
         cluster_silhouettes=r.alpha,

@@ -362,10 +362,12 @@ def _stage22_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
         sil = (out.cluster_silhouettes[0] > 0.7).astype(jnp.float32)[..., None]
         ok = out.cluster_occur[0] & root_visible
         loss = losses.l2_loss(out.cluster_imgs[0], pseudo_feat, sil)
+        n_lost = out.n_lost
         if with_alpha_loss:
             color = render(cam, gs, bg, 3, rcfg)
             loss = loss + _alpha_mask_loss(color.alpha, bundle, view_idx)
-        return jnp.where(ok, loss, 0.0), (ok, out.n_lost)
+            n_lost = jnp.maximum(n_lost, color.n_lost)  # budget health
+        return jnp.where(ok, loss, 0.0), (ok, n_lost)
 
     (loss, (ok, n_lost)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params()

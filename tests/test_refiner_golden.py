@@ -195,3 +195,23 @@ def test_refiner_matches_reference_transcription():
     assert len(set(mapping.values())) == len(mapping)
     # sanity: the refinement actually unified the swapped view-1 labels
     assert len(mapping) == 2
+
+
+def test_majority_winner_insertion_order_ties():
+    """majority_winner == the reference's insertion-ordered dict-max on
+    random tie-heavy vote matrices (expand_masks:1005-1020)."""
+    from opengaussian_tpu.refine.sam_refiner import majority_winner
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        V, n, G = rng.integers(2, 9), 200, rng.integers(2, 5)
+        dom = rng.integers(0, G + 1, (V, n)).astype(np.int32)  # many ties
+        got = majority_winner(dom)
+        for s in range(n):
+            votes = {}
+            for v in range(V):
+                d = int(dom[v, s])
+                if d > 0:
+                    votes[d] = votes.get(d, 0) + 1
+            want = max(votes, key=votes.get) if votes else 0
+            assert got[s] == want, (trial, s, dom[:, s], got[s], want)

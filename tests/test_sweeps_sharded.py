@@ -151,9 +151,8 @@ def test_budget_probe_sharded_matches_single(scene):
     t_ref, c_ref = budget.probe(gs, [cam])
     t_sh, c_sh = budget.probe(gs_sh, [cam], mesh=make_mesh(8))
     assert t_sh == t_ref
-    # the difference-array probe counts tile *covers* (pre-truncation), the
-    # single-device probe counts post-budget bins — sharded is an upper bound
-    # that agrees exactly when nothing is truncated
+    # the sharded probe bins each device's own splats (same circle-tile
+    # cull) and psums the per-tile counts — exactly the single-device probe
     assert c_sh == c_ref
 
 

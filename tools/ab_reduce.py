@@ -38,7 +38,6 @@ def main():
     import jax.numpy as jnp
 
     import bench
-    from opengaussian_tpu.ops import rasterize_pallas as rp
 
     print(f"device: {jax.devices()[0]}", flush=True)
 
@@ -49,21 +48,22 @@ def main():
               f"K={rcfg.max_per_tile}", flush=True)
         grads_by_backend = {}
         for backend in ("scatter", "sorted_mxu"):
-            rp.REDUCE_BACKEND = backend
-            # new jit per backend (the flag is read at trace time)
-            cfg = dataclasses.replace(rcfg)
+            # per-call-site static switch: part of the jit cache key
+            cfg = dataclasses.replace(rcfg, reduce_backend=backend)
             f = make_fwd_bwd(cfg)
             loss, grads = f(state)
             jax.block_until_ready((loss, grads))
             grads_by_backend[backend] = grads
-            # chained timing: thread the grads back into the params so the
-            # args change every iteration (memoization-proof)
+            # chained timing: thread a tiny but NONZERO grad step back into
+            # the params so the argument VALUES change every iteration
+            # (0.0*grads would re-present identical args — the exact
+            # memoization pitfall this guards against)
             st = state
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 loss, grads = f(st)
                 p = st.params()
-                p = {k: p[k] - 0.0 * grads[k] for k in p}
+                p = {k: p[k] - 1e-8 * grads[k] for k in p}
                 st = st.with_params(p)
             jax.block_until_ready(loss)
             dt = (time.perf_counter() - t0) / args.iters
