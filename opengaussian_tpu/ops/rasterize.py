@@ -64,6 +64,12 @@ class RasterizeConfig:
     # contraction (rasterize_pallas.sorted_segment_reduce); "auto" = the
     # module default (rasterize_pallas.REDUCE_BACKEND)
     reduce_backend: str = "auto"
+    # backward d_slot layout (stream path): "dense" = [T, K, F] BlockSpec
+    # blocks + an XLA chunk-compaction gather; "compact" = the kernel DMAs
+    # each live chunk's gradient rows straight to its compacted offset
+    # (no dense buffer, no gather); "auto" = the module default
+    # (rasterize_pallas.BWD_LAYOUT)
+    bwd_layout: str = "auto"
 
     def max_intersections(self, n: int) -> int:
         if self.intersection_budget:
@@ -334,6 +340,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
             max_chunks,
             config.max_per_tile,
             config.reduce_backend,
+            config.bwd_layout,
         )
     elif config.use_pallas():
         from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas

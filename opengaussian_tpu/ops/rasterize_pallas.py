@@ -19,11 +19,14 @@ stop below T=1e-4), restructured for the TPU memory hierarchy:
     compositing is one [C, chunk] x [chunk, 256] MXU contraction per chunk;
   * the backward kernel replays the forward (storing only final T and the
     premultiplied accumulation, like the reference CUDA backward) and emits
-    per-slot gradients in the dense [T, K] layout; the wrapper compacts the
-    live chunks and reduces them per splat — either via segment_sum
-    (REDUCE_BACKEND="scatter") or via sort + windowed one-hot MXU
-    contraction ("sorted_mxu", `sorted_segment_reduce`; tools/ab_reduce.py
-    A/Bs the two on chip).
+    per-slot gradients either in the dense [T, K] layout (BWD_LAYOUT=
+    "dense": BlockSpec blocks + an XLA chunk-compaction gather) or DMA'd
+    straight to compacted chunk offsets ("compact",
+    `blend_stream_pallas_bwd_compact`: no dense buffer, no gather); the
+    rows are then reduced per splat — via segment_sum (REDUCE_BACKEND=
+    "scatter") or sort + windowed one-hot MXU contraction ("sorted_mxu",
+    `sorted_segment_reduce`). tools/ab_reduce.py A/Bs the reductions on
+    chip.
 
 TWO input layouts exist:
 
@@ -197,6 +200,53 @@ def _nchunks(cnt, chunk):
     return (cnt + chunk - 1) // chunk
 
 
+def _chunk_grad_rows(g, m, gacc, g_t, t_final, ga_total, bacc, C):
+    """Shared backward math for one chunk: replay residuals `m` (from
+    _chunk_blend_math) against the incoming cotangents -> per-slot gradient
+    rows [Kc, 6+C] (dmean2d, dconic, dopac, dpayload) and the inclusive
+    suffix accumulator b_inc (whose last row is the next chunk's bacc)."""
+    pay = g[:, 6:6 + C]
+    # gc[k,p] = sum_c g_accum[c,p] * payload[k,c]
+    gc = jax.lax.dot_general(
+        pay, gacc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Kc, NPIX]
+    u = m["w"] * gc
+    # exact shift-doubling cumsum: an MXU triangular matmul needs
+    # Precision.HIGHEST for parity (default bf16 passes lose 3 digits)
+    # and the 6-pass f32 emulation measures ~10 ms/step SLOWER
+    b_inc = bacc + _cumulative(u, jnp.add)
+    one_m_a = jnp.maximum(1.0 - m["a"], 1.0 - blend.ALPHA_MAX)
+    d_alpha = jnp.where(
+        m["contrib"],
+        m["t_prev"] * gc
+        - (ga_total - b_inc) / one_m_a
+        - (g_t * t_final) / one_m_a,
+        0.0,
+    ) * m["not_done"]  # early-stopped pixels contribute no gradient
+    # alpha saturation: min(0.99, .) kills the gradient when clamped
+    not_clamped = (m["araw"] < blend.ALPHA_MAX).astype(jnp.float32)
+    d_alpha = d_alpha * not_clamped
+
+    d_power = m["a"] * d_alpha
+    dx, dy = m["dx"], m["dy"]
+    ca, cb, cc = m["ca"], m["cb"], m["cc"]
+    d_mx = jnp.sum(d_power * -(ca * dx + cb * dy), axis=1, keepdims=True)
+    d_my = jnp.sum(d_power * -(cc * dy + cb * dx), axis=1, keepdims=True)
+    d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
+    d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
+    d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
+    d_o = jnp.sum(d_alpha * m["gauss"], axis=1, keepdims=True)
+    d_pay = jax.lax.dot_general(
+        m["w"], gacc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Kc, C]
+    rows = jnp.concatenate(
+        [d_mx, d_my, d_ca, d_cb, d_cc, d_o, d_pay], axis=1
+    )
+    return rows, b_inc
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -315,47 +365,10 @@ def _bwd_tile(counts_ref, toff_ref, gdata_ref, gacc_ref, gt_ref, tfin_ref,
         c, bacc, tvec, done = carry
         g = gdata_ref[gi, pl.ds(c * chunk, chunk), :]  # [Kc, F]
         m = _chunk_blend_math(g, cnt, c, chunk, px, py, tvec, done)
-        pay = g[:, 6:]
-
-        # gc[k,p] = sum_c g_accum[c,p] * payload[k,c]
-        gc = jax.lax.dot_general(
-            pay, gacc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Kc, NPIX]
-        u = m["w"] * gc
-        # exact shift-doubling cumsum: an MXU triangular matmul needs
-        # Precision.HIGHEST for parity (default bf16 passes lose 3 digits)
-        # and the 6-pass f32 emulation measures ~10 ms/step SLOWER
-        b_inc = bacc + _cumulative(u, jnp.add)
-        one_m_a = jnp.maximum(1.0 - m["a"], 1.0 - blend.ALPHA_MAX)
-        d_alpha = jnp.where(
-            m["contrib"],
-            m["t_prev"] * gc
-            - (ga_total - b_inc) / one_m_a
-            - (g_t * t_final) / one_m_a,
-            0.0,
-        ) * m["not_done"]  # early-stopped pixels contribute no gradient
-        # alpha saturation: min(0.99, .) kills the gradient when clamped
-        not_clamped = (m["araw"] < blend.ALPHA_MAX).astype(jnp.float32)
-        d_alpha = d_alpha * not_clamped
-
-        d_power = m["a"] * d_alpha
-        dx, dy = m["dx"], m["dy"]
-        ca, cb, cc = m["ca"], m["cb"], m["cc"]
-        d_mx = jnp.sum(d_power * -(ca * dx + cb * dy), axis=1, keepdims=True)
-        d_my = jnp.sum(d_power * -(cc * dy + cb * dx), axis=1, keepdims=True)
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
-        d_o = jnp.sum(d_alpha * m["gauss"], axis=1, keepdims=True)
-        d_pay = jax.lax.dot_general(
-            m["w"], gacc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Kc, C]
-        dslot_out[gi, pl.ds(c * chunk, chunk), :] = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_o, d_pay], axis=1
+        rows, b_inc = _chunk_grad_rows(
+            g, m, gacc, g_t, t_final, ga_total, bacc, gacc.shape[0]
         )
-
+        dslot_out[gi, pl.ds(c * chunk, chunk), :] = rows
         bacc = b_inc[-1:, :]  # == bacc + sum(u): the cumsum's last row
         return (c + 1, bacc, m["new_t"], m["new_done"])
 
@@ -574,43 +587,13 @@ def _bwd_stream_kernel(counts_ref, tstart_ref, toff_ref, stream_ref, gacc_ref,
             c, bacc, tvec, done = carry
             g = scratch[buf, gi, pl.ds(c * chunk, chunk), :]
             m = _chunk_blend_math(g, cnt, c, chunk, px, py, tvec, done)
-            pay = g[:, 6:6 + C]
-            gc = jax.lax.dot_general(
-                pay, gacc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            u = m["w"] * gc
-            # exact shift-doubling cumsum (see _bwd_tile for why not MXU)
-            b_inc = bacc + _cumulative(u, jnp.add)
-            one_m_a = jnp.maximum(1.0 - m["a"], 1.0 - blend.ALPHA_MAX)
-            d_alpha = jnp.where(
-                m["contrib"],
-                m["t_prev"] * gc
-                - (ga_total - b_inc) / one_m_a
-                - (g_t * t_final) / one_m_a,
-                0.0,
-            ) * m["not_done"]
-            not_clamped = (m["araw"] < blend.ALPHA_MAX).astype(jnp.float32)
-            d_alpha = d_alpha * not_clamped
-
-            d_power = m["a"] * d_alpha
-            dx, dy = m["dx"], m["dy"]
-            ca, cb, cc = m["ca"], m["cb"], m["cc"]
-            d_mx = jnp.sum(d_power * -(ca * dx + cb * dy), axis=1, keepdims=True)
-            d_my = jnp.sum(d_power * -(cc * dy + cb * dx), axis=1, keepdims=True)
-            d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1, keepdims=True)
-            d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
-            d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
-            d_o = jnp.sum(d_alpha * m["gauss"], axis=1, keepdims=True)
-            d_pay = jax.lax.dot_general(
-                m["w"], gacc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            rows, b_inc = _chunk_grad_rows(
+                g, m, gacc, g_t, t_final, ga_total, bacc, C
             )
             # last column: the splat id, passed through so the reduction
             # reads ids from the gradient rows themselves
             dslot_out[gi, pl.ds(c * chunk, chunk), :] = jnp.concatenate(
-                [d_mx, d_my, d_ca, d_cb, d_cc, d_o, d_pay,
-                 g[:, 6 + C:7 + C]], axis=1
+                [rows, g[:, 6 + C:7 + C]], axis=1
             )
             bacc = b_inc[-1:, :]
             return (c + 1, bacc, m["new_t"], m["new_done"])
@@ -664,11 +647,177 @@ def blend_stream_pallas_bwd(rows, counts, tstart, accum, t_final, g_accum,
       t_final[:, None, :], ga_total[:, None, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
+# ---------------------------------------------------------------------------
+# compact-output stream backward: instead of staging d_slot as dense
+# [T, K, F] BlockSpec blocks (written back in full: T*K*F floats of HBM
+# traffic at K = max_per_tile) and compacting the live chunks with an XLA
+# chunk-gather (latency-bound: ~3.7 ms of the heavy bench step, device
+# trace), the kernel DMAs each live chunk's gradient rows straight to its
+# compacted row offset cstart[t]*chunk + c*chunk. Tiles own disjoint
+# [cstart[t], cstart[t]+nchunks[t]) chunk ranges by construction (cstart =
+# exclusive cumsum of nchunks), so the dynamic-offset writes cannot collide.
+# Early-stopped tiles zero-write their remaining live chunks (their
+# gradients are exactly zero — every pixel is past T_EPS) so the live range
+# is fully initialized; rows past total_chunks stay garbage and are dropped
+# by the live mask on the id column (_stream_bwd) plus the non-finite
+# clamp in the reduce kernel.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_stream_compact_kernel(counts_ref, tstart_ref, toff_ref, cstart_ref,
+                               stream_ref, gacc_ref, gt_ref, tfin_ref,
+                               gatot_ref, rows_out, scratch, sems, wscratch,
+                               wsems, *, chunk, grid_x, C, K, n_tiles):
+    s = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(s == 0)
+    def _():
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles)
+
+    @pl.when(s + 1 < nsteps)
+    def _():
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, s + 1,
+                      (s + 1) % 2, K, n_tiles)
+
+    buf = s % 2
+    for gi in range(GROUP):
+        _stream_wait(stream_ref, tstart_ref, scratch, sems, s, buf, gi, K,
+                     n_tiles)
+        t = s * GROUP + gi
+        live = t < n_tiles
+        cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
+        nc = _nchunks(cnt, chunk)
+        row0 = cstart_ref[jnp.minimum(t, n_tiles - 1)] * chunk
+        px, py = _pixels(t + toff_ref[0], grid_x)
+
+        gacc = gacc_ref[gi]  # [C, NPIX]
+        g_t = gt_ref[gi, 0:1, :]
+        t_final = tfin_ref[gi, 0:1, :]
+        ga_total = gatot_ref[gi, 0:1, :]
+
+        # write-DMA plumbing: double-buffered [chunk, LANES] staging, waits
+        # two issues behind. Buffer indices are kept STATIC (Python wb) via
+        # parity pl.when's — dynamic leading indices into VMEM scratch are a
+        # Mosaic risk the read path never exercises.
+        def w_copy(c, wb):
+            return pltpu.make_async_copy(
+                wscratch.at[wb],
+                rows_out.at[pl.ds(row0 + c * chunk, chunk), :],
+                wsems.at[wb],
+            )
+
+        def stage_and_issue(c, out_rows):
+            for wb in (0, 1):
+                @pl.when(c % 2 == wb)
+                def _():
+                    @pl.when(c >= 2)
+                    def _():
+                        w_copy(c - 2, wb).wait()
+                    wscratch[wb] = out_rows
+                    w_copy(c, wb).start()
+
+        def cond(carry):
+            c, _, _, done = carry
+            return (c < nc) & (jnp.min(done) < 0.5)
+
+        def body(carry):
+            c, bacc, tvec, done = carry
+            g = scratch[buf, gi, pl.ds(c * chunk, chunk), :]
+            m = _chunk_blend_math(g, cnt, c, chunk, px, py, tvec, done)
+            rows, b_inc = _chunk_grad_rows(
+                g, m, gacc, g_t, t_final, ga_total, bacc, C
+            )
+            out_rows = jnp.concatenate(
+                [rows, g[:, 6 + C:7 + C],
+                 jnp.zeros((chunk, LANES - (7 + C)), jnp.float32)], axis=1
+            )  # [chunk, LANES]: grads + id column + lane padding
+            stage_and_issue(c, out_rows)
+            return (c + 1, b_inc[-1:, :], m["new_t"], m["new_done"])
+
+        carry0 = (
+            jnp.int32(0),
+            jnp.zeros((1, NPIX), jnp.float32),
+            jnp.ones((1, NPIX), jnp.float32),
+            jnp.zeros((1, NPIX), jnp.float32),
+        )
+        c_end, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+
+        # early exit leaves chunks [c_end, nc) of this tile's live range
+        # unwritten; their gradients are exactly zero (all pixels are past
+        # T_EPS), so zero-write them with the same wait discipline
+        def zcond(c):
+            return c < nc
+
+        def zbody(c):
+            stage_and_issue(c, jnp.zeros((chunk, LANES), jnp.float32))
+            return c + 1
+
+        c_fin = jax.lax.while_loop(zcond, zbody, c_end)
+
+        # drain the (up to two) outstanding write DMAs before the next tile
+        # reuses the staging buffers
+        for wb in (0, 1):
+            @pl.when((c_fin >= 2) & (c_fin % 2 == wb))
+            def _():
+                w_copy(c_fin - 2, wb).wait()
+
+            @pl.when((c_fin >= 1) & ((c_fin - 1) % 2 == wb))
+            def _():
+                w_copy(c_fin - 1, wb).wait()
+
+
+def blend_stream_pallas_bwd_compact(rows, counts, tstart, accum, t_final,
+                                    g_accum, g_t, grid_x: int, chunk: int,
+                                    K: int, n_fields: int, max_chunks: int,
+                                    tile_offset=None):
+    """-> compacted per-slot gradient rows [max_chunks*chunk, LANES]
+    (columns [0, n_fields): dmean2d(2), dconic(3), dopac(1), dpayload(C),
+    splat id; live range = the first sum(ceil(counts/chunk)) chunks)."""
+    T = counts.shape[0]
+    C = n_fields - 7
+    if tile_offset is None:
+        tile_offset = jnp.zeros((1,), jnp.int32)
+    ga_total = jnp.sum(g_accum * accum, axis=1)  # [T, NPIX]
+    nchunks = (counts + chunk - 1) // chunk
+    cstart = (jnp.cumsum(nchunks) - nchunks).astype(jnp.int32)
+    kern = functools.partial(_bwd_stream_compact_kernel, chunk=chunk,
+                             grid_x=grid_x, C=C, K=K, n_tiles=T)
+    bspec = lambda shape: pl.BlockSpec(shape, lambda t, c, ts, to, cs: (t, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=((T + GROUP - 1) // GROUP,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            bspec((GROUP, C, NPIX)),
+            bspec((GROUP, 1, NPIX)),
+            bspec((GROUP, 1, NPIX)),
+            bspec((GROUP, 1, NPIX)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, chunk, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((max_chunks * chunk, LANES),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(counts, tstart, tile_offset, cstart, rows, g_accum, g_t[:, None, :],
+      t_final[:, None, :], ga_total[:, None, :])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
 def blend_tiles_pallas_stream(mean2d, conic, opac, payload, sorted_carry,
                               stream_ids, tstart, counts, tile_offset, chunk,
                               grid_x, max_chunks, max_per_tile,
-                              reduce_backend="auto"):
+                              reduce_backend="auto", bwd_layout="auto"):
     """sorted_carry: tuple of [P] f32 columns in sorted-slot order —
     (mean2d x/y, conic a/b/c, opac, payload..C) delivered by
     bin_gaussians(carry=...). mean2d/conic/opac/payload are the per-splat
@@ -676,13 +825,14 @@ def blend_tiles_pallas_stream(mean2d, conic, opac, payload, sorted_carry,
     computes their gradients by per-splat reduction)."""
     out, _ = _stream_fwd(mean2d, conic, opac, payload, sorted_carry,
                          stream_ids, tstart, counts, tile_offset, chunk,
-                         grid_x, max_chunks, max_per_tile, reduce_backend)
+                         grid_x, max_chunks, max_per_tile, reduce_backend,
+                         bwd_layout)
     return out
 
 
 def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
                 tstart, counts, tile_offset, chunk, grid_x, max_chunks,
-                max_per_tile, reduce_backend="auto"):
+                max_per_tile, reduce_backend="auto", bwd_layout="auto"):
     n = payload.shape[0]
     # The splat INDEX rides the stream as one extra f32 column (exact below
     # 2^24): the backward writes it through to d_slot, so the per-splat
@@ -707,7 +857,7 @@ def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
 
 
 def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, reduce_backend,
-                res, cts):
+                bwd_layout, res, cts):
     rows, tstart, counts, tile_offset, acc, t_final, n, f = res
     n_carry = f - 1  # carry columns (id column excluded)
     T = counts.shape[0]
@@ -716,32 +866,44 @@ def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, reduce_backend,
     ncpt = K // chunk
     g_accum, g_t = cts  # [T, NPIX, C], [T, NPIX]
     g_acc = jnp.swapaxes(g_accum, 1, 2)
-    d_slot = blend_stream_pallas_bwd(
-        rows, counts, tstart, acc, t_final, g_acc, g_t, grid_x, chunk, K, f,
-        tile_offset,
-    )  # [T, K, F]
-
-    # per-splat reduction over live chunks (see _pallas_bwd for the layout
-    # rationale); splat ids come straight from the sorted stream windows
+    if bwd_layout == "auto":
+        bwd_layout = BWD_LAYOUT
     NC = max_chunks
     nchunks = (counts + chunk - 1) // chunk
     chunk_base = jnp.cumsum(nchunks) - nchunks
     total_chunks = jnp.sum(nchunks)
-
-    t_ids1 = jnp.where(nchunks > 0, jnp.arange(T, dtype=jnp.int32) + 1, 0)
-    base_clip = jnp.minimum(chunk_base, NC - 1)
-    marks = jnp.zeros((NC,), jnp.int32).at[base_clip].max(t_ids1)
-    tile_of = jax.lax.cummax(marks) - 1
     pchunk = jnp.arange(NC, dtype=jnp.int32)
-    live = (pchunk < total_chunks) & (tile_of >= 0)
-    tile_safe = jnp.maximum(tile_of, 0)
-    i_of = pchunk - chunk_base[tile_safe]
-    dense_chunk = jnp.minimum(tile_safe * ncpt + i_of, T * ncpt - 1)
-    rows_g = jnp.take(
-        d_slot.reshape(T * ncpt, chunk, F), dense_chunk, axis=0
-    ).reshape(NC * chunk, F)
+
+    if bwd_layout == "compact":
+        # the kernel writes each live chunk's gradient rows straight to its
+        # compacted offset — no dense [T, K, F] staging, no chunk-gather
+        rows_g = blend_stream_pallas_bwd_compact(
+            rows, counts, tstart, acc, t_final, g_acc, g_t, grid_x, chunk,
+            K, f, NC, tile_offset,
+        )[:, :F]  # [NC*chunk, F]
+        live = pchunk < total_chunks
+    else:
+        d_slot = blend_stream_pallas_bwd(
+            rows, counts, tstart, acc, t_final, g_acc, g_t, grid_x, chunk,
+            K, f, tile_offset,
+        )  # [T, K, F]
+
+        # per-splat reduction over live chunks (see _pallas_bwd for the
+        # layout rationale); splat ids come straight from the sorted stream
+        t_ids1 = jnp.where(nchunks > 0, jnp.arange(T, dtype=jnp.int32) + 1, 0)
+        base_clip = jnp.minimum(chunk_base, NC - 1)
+        marks = jnp.zeros((NC,), jnp.int32).at[base_clip].max(t_ids1)
+        tile_of = jax.lax.cummax(marks) - 1
+        live = (pchunk < total_chunks) & (tile_of >= 0)
+        tile_safe = jnp.maximum(tile_of, 0)
+        i_of = pchunk - chunk_base[tile_safe]
+        dense_chunk = jnp.minimum(tile_safe * ncpt + i_of, T * ncpt - 1)
+        rows_g = jnp.take(
+            d_slot.reshape(T * ncpt, chunk, F), dense_chunk, axis=0
+        ).reshape(NC * chunk, F)
     # ids come from the pass-through column of the gradient rows; dead
-    # CHUNKS alias real rows (clamped gather) and must still be dropped
+    # CHUNKS alias real rows (dense: clamped gather; compact: unwritten
+    # garbage past total_chunks) and must still be dropped
     ids = rows_g[:, F - 1].astype(jnp.int32).reshape(NC, chunk)
     ids = jnp.where(live[:, None], ids, n).reshape(-1)
     per_gauss = _per_splat_reduce(rows_g[:, :F - 1], ids, n, reduce_backend)
@@ -832,6 +994,11 @@ def _reduce_kernel(nch_ref, lo_ref, rows_ref, out_ref, scratch, sems, *,
 
         wait(c, c % 2)
         vals = scratch[c % 2, 0]  # [F16, RCH]
+        # rows from the compact bwd layout can carry UNINITIALIZED values
+        # past total_chunks (their ids are sentineled out of every window,
+        # but NaN/inf values would still poison the whole window through the
+        # one-hot contraction: NaN * 0 == NaN) — clamp non-finite to zero
+        vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
         ids = vals[id_row:id_row + 1, :]  # [1, RCH] f32 (exact ints)
         col = jax.lax.broadcasted_iota(jnp.float32, (WSEG, RCH), 0)
         # arithmetic broadcast [1,RCH]-[WSEG,RCH] is supported (sublane
@@ -914,6 +1081,12 @@ def sorted_segment_reduce(rows, ids, n: int):
 # switch (part of the jit cache key); this module default only sets what
 # "auto" means.
 REDUCE_BACKEND = "scatter"  # pending on-chip Mosaic validation + A/B
+
+# Default backward d_slot layout: "dense" ([T, K, F] BlockSpec blocks + XLA
+# chunk compaction) or "compact" (direct compacted-offset DMA writes,
+# blend_stream_pallas_bwd_compact). Same trace-time resolution contract as
+# REDUCE_BACKEND: RasterizeConfig.bwd_layout="auto" reads this.
+BWD_LAYOUT = "dense"  # pending on-chip Mosaic validation + A/B
 
 
 def _per_splat_reduce(rows, ids, n: int, backend: str = "auto"):

@@ -128,7 +128,7 @@ def render_sharded(
                 bins.sorted_gauss, tstart, counts,
                 t0[None].astype(jnp.int32), config.chunk,
                 grid_x, max_chunks, config.max_per_tile,
-                config.reduce_backend,
+                config.reduce_backend, config.bwd_layout,
             )
         elif config.use_pallas():
             from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas

@@ -39,7 +39,8 @@ def test_pallas_multichannel():
                                atol=3e-5, rtol=1e-4)
 
 
-def test_pallas_gradients_match_xla():
+@pytest.mark.parametrize("bwd_layout", ["dense", "compact"])
+def test_pallas_gradients_match_xla(bwd_layout):
     cam = make_cam(48, 32)
     means, scales, quats, op, cols = random_scene(120, seed=3)
     bg = jnp.array([0.1, 0.3, 0.2])
@@ -57,15 +58,55 @@ def test_pallas_gradients_match_xla():
             )
         return loss
 
+    pallas = dataclasses.replace(PALLAS, bwd_layout=bwd_layout)
     args = (means, scales, quats, op, cols)
     g_xla = jax.grad(make_loss(XLA), argnums=tuple(range(5)))(*args)
-    g_pal = jax.grad(make_loss(PALLAS), argnums=tuple(range(5)))(*args)
+    g_pal = jax.grad(make_loss(pallas), argnums=tuple(range(5)))(*args)
     for name, a, b in zip(("means", "scales", "quats", "op", "cols"), g_xla, g_pal):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(
             b / scale, a / scale, atol=1e-3, err_msg=f"grad mismatch: {name}"
         )
+
+
+def test_compact_bwd_early_termination_and_sorted_reduce():
+    """Stacked opaque splats early-stop most tiles mid-chunk-list — the
+    compact layout must zero-write the skipped live chunks (unwritten
+    garbage there would alias real splat ids). Also crosses the compact
+    layout with the sorted_mxu reduction so both new backward paths compose."""
+    cam = make_cam(32, 32)
+    n = 80
+    rng = np.random.default_rng(5)
+    means = jnp.asarray(
+        np.stack([rng.normal(0, 0.05, n), rng.normal(0, 0.05, n),
+                  np.linspace(2, 4, n)], -1).astype(np.float32)
+    )
+    scales = jnp.full((n, 3), 0.3)
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+    op = jnp.full((n,), 0.97)
+    cols = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+
+    def make_loss(cfg):
+        def loss(means, op, cols):
+            out = rasterize(cam, means, build_cov3d(scales, quats), op, cols,
+                            jnp.zeros(3), cfg)
+            return jnp.sum((out.image - target) ** 2) + 0.05 * jnp.sum(out.alpha)
+        return loss
+
+    g_xla = jax.grad(make_loss(XLA), argnums=(0, 1, 2))(means, op, cols)
+    for reduce_backend in ("scatter", "sorted_mxu"):
+        cfg = dataclasses.replace(PALLAS, bwd_layout="compact",
+                                  reduce_backend=reduce_backend)
+        g_pal = jax.grad(make_loss(cfg), argnums=(0, 1, 2))(means, op, cols)
+        for name, a, b in zip(("means", "op", "cols"), g_xla, g_pal):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(
+                b / scale, a / scale, atol=1e-3,
+                err_msg=f"grad mismatch: {name} ({reduce_backend})",
+            )
 
 
 def test_pallas_early_termination_heavy_overdraw():
