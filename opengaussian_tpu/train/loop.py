@@ -998,8 +998,16 @@ class Trainer:
             from opengaussian_tpu.refine.introspect import RefinerTrace
 
             trace = RefinerTrace(self.out_dir)
+        state = self.state
+        if self.mesh is not None:
+            # the refiner is a one-shot host-orchestrated pass over
+            # single-device renders; gather the sharded state ONCE here
+            # instead of letting each of its ~3V jitted calls implicitly
+            # re-gather (its host graph-merge stage is inherently
+            # single-process anyway)
+            state = jax.device_put(state, jax.devices()[0])
         refined = refine_sam_masks(
-            self.state, cams, np.asarray(self.bundle.sam_ids), self.rcfg,
+            state, cams, np.asarray(self.bundle.sam_ids), self.rcfg,
             trace=trace,
         )
         ids = np.maximum(refined, 0).astype(np.int32)  # -1 void -> 0 invalid
