@@ -90,10 +90,37 @@ def make_workload(scale: float = 0.088, backend: str | None = None):
     return state, cam, rcfg, gt, bg, make_fwd_bwd
 
 
+def _device_watchdog(timeout_s: float = 420.0):
+    """Fail loudly if device discovery hangs. The axon TPU tunnel can go
+    down for hours, and jax.devices() then blocks FOREVER (no exception) —
+    without this, a driver bench run would hang instead of reporting. The
+    timer is disarmed as soon as the backend answers."""
+    import os
+    import threading
+
+    disarm = threading.Event()
+
+    def watch():
+        if not disarm.wait(timeout_s):
+            print(
+                f"bench: device discovery still blocked after {timeout_s:.0f}s "
+                "(TPU tunnel down?) — aborting",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return disarm
+
+
 def main():
     import dataclasses
 
+    disarm = _device_watchdog()
     import jax
+
+    jax.devices()  # blocks here if the tunnel is down; watchdog aborts
+    disarm.set()
     import jax.numpy as jnp
 
     from opengaussian_tpu.cameras import Camera

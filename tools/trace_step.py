@@ -105,10 +105,17 @@ def main():
     ap.add_argument("--heavy", action="store_true",
                     help="r1-heavy workload (~650k intersections)")
     ap.add_argument("--backend", default=None, choices=[None, "pallas", "xla"])
+    ap.add_argument("--reduce", default=None,
+                    choices=[None, "scatter", "sorted_mxu"],
+                    help="override the per-splat reduction backend")
+    ap.add_argument("--layout", default=None, choices=[None, "dense", "compact"],
+                    help="override the backward d_slot layout")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--top", type=int, default=15)
     ap.add_argument("--outdir", default="/tmp/jaxtrace")
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
 
@@ -118,6 +125,10 @@ def main():
     state, cam, rcfg, gt, bg, make_fwd_bwd = bench.make_workload(
         scale, backend=args.backend
     )
+    if args.reduce:
+        rcfg = dataclasses.replace(rcfg, reduce_backend=args.reduce)
+    if args.layout:
+        rcfg = dataclasses.replace(rcfg, bwd_layout=args.layout)
     print(f"workload: scale={scale} P={rcfg.max_intersections(state.capacity)}"
           f" K={rcfg.max_per_tile} backend={rcfg.backend}"
           f" device={jax.default_backend()}", file=sys.stderr, flush=True)
