@@ -86,3 +86,24 @@ def test_stage1_reports_lost_and_trainer_reprobes(tmp_path, capsys):
     assert tr._budgets_tuned
     assert tr.rcfg.max_intersections(tr.state.capacity) > 256
 
+
+
+def test_probe_escalates_past_its_own_cap():
+    """A tile with more covers than the starting per-tile probe cap (2048)
+    must be measured UNCLAMPED: the probe doubles its cap until the
+    measurement saturates nothing, so tuned_config sees the true need."""
+    n = 4096
+    rng = np.random.default_rng(7)
+    # every splat on the same spot -> one tile holds all n covers
+    pts = np.stack([rng.normal(0, 1e-4, n), rng.normal(0, 1e-4, n),
+                    np.full(n, 3.0)], -1).astype(np.float32)
+    st = create_from_pcd(pts, rng.uniform(0, 1, (n, 3)).astype(np.float32),
+                         capacity=n, seed=0)
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.0, 0.8, 64, 48)
+    total, cnt = budget.probe(st, [cam])
+    assert cnt > budget.PROBE_K, (cnt, budget.PROBE_K)
+    assert cnt == n  # all splats cover the center tile
+    # and tuned_config grows max_per_tile past a small base cap
+    base = RasterizeConfig(max_per_tile=256, chunk=64, min_intersections=8192)
+    tuned = budget.tuned_config(base, st, [cam])
+    assert tuned.max_per_tile >= cnt
