@@ -8,6 +8,14 @@ warmup. Binning budgets are auto-tuned the same way the trainer tunes them
 (ops/budget.py) and the run asserts zero dropped/truncated intersections, so
 the measured numbers are exact-render numbers.
 
+Workload realization note (r3): the calibrated (scale=0.088) state draws the
+exact same RNG stream as r2, so that number is directly comparable across
+rounds. The r1-heavy (0.15) state's opacity draw was re-anchored when
+make_workload was factored out: r2's came from whatever stream position main
+had reached (which depended on TPU-only parity draws — environment-dependent
+and unreproducible); it is now a fixed function of the scale, deterministic
+forever. Heavy numbers before/after r3 differ by realization, not code.
+
 Workload calibration (r2): the baseline anchor (~23 Mpix/s, BASELINE.md) is
 the RTX 4090's sustained throughput on REAL trained ScanNet scenes, whose
 per-pixel depth complexity sits in the ~20-80 band (3DGS prunes low-opacity
@@ -61,11 +69,18 @@ def make_workload(scale: float = 0.088, backend: str | None = None):
     base_state = create_from_pcd(pts, cols, capacity=N_GAUSS, seed=0)
     # compact splats, broad opacity distribution (raw KNN-init scales on
     # a sparse random cloud are unrealistically fat)
+    # opacity realization: the calibrated scale keeps r2's exact stream
+    # position (continuity); other scales get their own fixed seed so the
+    # realization never depends on call order again (module docstring)
+    if scale == 0.088:
+        opac = rng.normal(0.0, 2.0, N_GAUSS)
+    else:
+        opac = np.random.default_rng(
+            int(scale * 10_000)).normal(0.0, 2.0, N_GAUSS)
     state = dataclasses.replace(
         base_state,
         log_scales=base_state.log_scales + np.log(scale),
-        logit_opacity=jnp.asarray(
-            rng.normal(0.0, 2.0, N_GAUSS).astype(np.float32)),
+        logit_opacity=jnp.asarray(opac.astype(np.float32)),
     )
     cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, WIDTH, HEIGHT)
     base_cfg = RasterizeConfig(max_per_tile=1024, chunk=64)

@@ -47,22 +47,6 @@ def score_leaves(cluster_imgs, cluster_sils, cluster_valid, pm, pm_valid,
     return mask_id.astype(jnp.int32), score, matched
 
 
-@partial(jax.jit, static_argnames=("k2", "max_masks", "config"))
-def _associate_root_view(gs, kms_leaf_ids, camera, pseudo_feat, pseudo_ids,
-                         root_id, root_visible, bg, k2: int, max_masks: int,
-                         config: RasterizeConfig):
-    """-> (matched mask id [k2], score [k2], matched [k2] bool)."""
-    group_ids = root_id * k2 + jnp.arange(k2)
-    out = render_clusters(
-        camera, gs, bg, kms_leaf_ids, group_ids, config,
-        origin_feat=True, better_vis=False, min_points=MIN_LEAF_POINTS,
-    )
-    pm, pm_valid = masku.masks_onehot(pseudo_ids, max_masks)  # [M,H,W]
-    p_mean = masku.mask_feature_mean(pseudo_feat, pm)  # [M,6]
-    return score_leaves(out.cluster_imgs, out.cluster_silhouettes,
-                        out.cluster_valid, pm, pm_valid, p_mean, root_visible)
-
-
 @partial(jax.jit, static_argnames=("k1", "k2", "max_masks", "config"))
 def _associate_view(gs, kms_leaf_ids, camera, pseudo_feat, pseudo_ids,
                     occur_row, bg, k1: int, k2: int, max_masks: int,

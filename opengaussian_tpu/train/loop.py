@@ -950,7 +950,7 @@ class Trainer:
                 if self.pseudo is not None and self.pseudo.cluster_occur is not None
                 else jnp.ones((self.bundle.num_views, o.root_node_num), bool)
             )
-            self.state, self.adam, loss = stage22_block(
+            self.state, self.adam, loss, self._last_lost = stage22_block(
                 self.state, self.adam, self.kms, self.bundle, vis, its, bgs,
                 rescales, jnp.asarray(root_ids, jnp.int32),
                 self.pseudo.feat, occur, self.rcfg, o, self.any_alpha,
@@ -1005,7 +1005,18 @@ class Trainer:
             # instead of letting each of its ~3V jitted calls implicitly
             # re-gather (its host graph-merge stage is inherently
             # single-process anyway)
-            state = jax.device_put(state, jax.devices()[0])
+            if jax.process_count() > 1:
+                # multi-host mesh: device_put onto one global device would
+                # target a non-addressable device on every other process —
+                # allgather the full state to every host instead (each host
+                # then refines redundantly-but-identically, like the other
+                # host-side stage boundaries)
+                from jax.experimental import multihost_utils
+
+                # tiled=True: global non-fully-addressable arrays come back
+                # as their (already-global) value, not stacked per process
+                state = multihost_utils.process_allgather(state, tiled=True)
+            state = jax.device_put(state, jax.local_devices()[0])
         refined = refine_sam_masks(
             state, cams, np.asarray(self.bundle.sam_ids), self.rcfg,
             trace=trace,

@@ -74,10 +74,29 @@ def main():
         # fully-replicated scalar: identical on every process
         losses.append(float(loss))
 
+    # the refiner's multi-host gather path (train/loop.py refine_sam_masks):
+    # allgather the globally-sharded state to every host, commit it to a
+    # LOCAL device, and run one refiner sweep on it — device_put onto
+    # jax.devices()[0] would fail here on process 1 (non-addressable)
+    from jax.experimental import multihost_utils
+
+    from opengaussian_tpu.refine.sam_refiner import splat_id_votes
+
+    gathered = multihost_utils.process_allgather(state, tiled=True)
+    gathered = jax.device_put(gathered, jax.local_devices()[0])
+    assert gathered.means.shape == (n, 3), gathered.means.shape
+    sam = jnp.asarray((rng.integers(0, 4, (48, 64))).astype(np.int32))
+    votes, vis = splat_id_votes(
+        gathered, cam, sam, jnp.full((48, 64), 3.0), 4, rcfg
+    )
+    refiner_sum = float(jnp.sum(votes))
+    assert np.isfinite(refiner_sum)
+
     if pid == 0:
         with open(out_path, "w") as f:
             f.write(",".join(f"{l:.8f}" for l in losses))
-    print(f"worker {pid} done: {losses}", flush=True)
+    print(f"worker {pid} done: {losses} refiner_votes={refiner_sum:.3f}",
+          flush=True)
 
 
 if __name__ == "__main__":

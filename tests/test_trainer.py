@@ -133,16 +133,19 @@ def test_stage0_learns_on_consistent_scene(tmp_path):
 
 def test_block_dispatch_matches_single_step(tmp_path):
     """The scanned multi-step dispatch must reproduce the per-step path:
-    same views, same RNG draws, same math (scan body == step body)."""
+    same views, same RNG draws, same math (scan body == step body) — through
+    EVERY stage, including blocked 2.2 (whose 4-tuple unpack a stage-0-only
+    run never reaches)."""
     import jax.numpy as jnp
 
     root = str(tmp_path / "scene")
     make_colmap_scene(root, n_views=4)
     scene = dataset.load_scene(root)
     opt = OptimizationConfig(
-        iterations=40, start_ins_feat_iter=100, start_root_cb_iter=200,
-        start_leaf_cb_iter=300, densify_from_iter=1000,
+        iterations=120, start_ins_feat_iter=30, start_root_cb_iter=60,
+        start_leaf_cb_iter=90, densify_from_iter=1000,
         densify_until_iter=0, opacity_reset_interval=10_000, sam_level=3,
+        root_node_num=4, leaf_node_num=3, leaf_update_fr=10,
     )
     cfg = Config(model=ModelConfig(), opt=opt)
 
@@ -151,19 +154,37 @@ def test_block_dispatch_matches_single_step(tmp_path):
                      seed=3)
         if block:
             tr.BLOCK_SIZES = (50, 10, 5)
-        tr.train(until=40, log_every=40)
         return tr
 
     a = run(True)
     b = run(False)
-    assert a.iteration == b.iteration == 40
+    # through stage 1 the two dispatch paths are numerically identical up to
+    # jit-fusion rounding (measured ~8e-7 on ins_feat)
+    a.train(until=60, log_every=200)
+    b.train(until=60, log_every=200)
     np.testing.assert_allclose(
         np.asarray(a.state.means), np.asarray(b.state.means), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_allclose(
+        np.asarray(a.state.ins_feat), np.asarray(b.state.ins_feat), atol=1e-5
+    )
+    # stages 2.x are THRESHOLD-amplified (silhouette > 0.7 mask gates,
+    # occur > 0.8, argmin quantization): fusion-level 1e-6 differences flip
+    # discrete gates and the trajectories drift apart legitimately
+    # (measured ~1e-2 by it 120). Assert the blocked path runs every stage
+    # (incl. the blocked 2.2 4-tuple unpack) and lands in the same regime.
+    a.train(until=120, log_every=200)
+    b.train(until=120, log_every=200)
+    assert a.iteration == b.iteration == 120
+    assert a._stage(a.iteration) == "2.2"
+    np.testing.assert_allclose(
         np.asarray(a.state.logit_opacity), np.asarray(b.state.logit_opacity),
         rtol=1e-5, atol=1e-6
+    )  # frozen past stage 0: must still be identical
+    np.testing.assert_allclose(
+        np.asarray(a.state.ins_feat), np.asarray(b.state.ins_feat), atol=0.05
     )
+    assert np.array_equal(np.asarray(a.kms.cls_ids), np.asarray(b.kms.cls_ids))
 
 
 def test_save_memory_matches_device_resident(tmp_path):

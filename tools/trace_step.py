@@ -135,10 +135,21 @@ def main():
     f = make_fwd_bwd(rcfg)
     out = f(state)
     jax.block_until_ready(out)
+
+    def chain(st):
+        # thread a tiny but NONZERO grad step back into the params so every
+        # traced iteration presents new argument values — fixed-input loops
+        # on the axon tunnel get memoized and never reach the device (the
+        # pitfall the module docstring documents; same guard as ab_reduce)
+        loss, grads = f(st)
+        p = st.params()
+        return st.with_params({k: p[k] - 1e-8 * grads[k] for k in p}), loss
+
     with jax.profiler.trace(args.outdir):
+        st = state
         for _ in range(args.iters):
-            out = f(state)
-        jax.block_until_ready(out)
+            st, loss = chain(st)
+        jax.block_until_ready(loss)
 
     ops = parse_trace(args.outdir)
     total_us = sum(us for _, us in ops)
