@@ -435,3 +435,36 @@ def test_sharded_alpha_mask_gating():
         jnp.float32(1.0), max_masks=8, has_alpha=jnp.bool_(True),
     )
     assert float(l1_mask) > float(l1_none)
+
+
+def test_sharded_gradients_pallas_compact_layout():
+    """The stream kernels inside shard_map with the compact backward layout
+    (interpret mode on CPU; semantics-level pin for the on-chip path)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, backend="pallas", bwd_layout="compact",
+                              max_per_tile=64, min_intersections=8192)
+    mesh = make_mesh(8)
+    cam = make_cam(32, 32)
+    means, scales, quats, op, cols = random_scene(96, seed=6)
+    bg = jnp.zeros(3)
+    target = jnp.asarray(
+        np.random.default_rng(6).uniform(size=(32, 32, 3)).astype(np.float32)
+    )
+
+    def loss_single(means, cols):
+        out = rasterize(cam, means, build_cov3d(scales, quats), op, cols, bg,
+                        dataclasses.replace(cfg, backend="xla"))
+        return jnp.sum((out.image - target) ** 2)
+
+    def loss_sharded(means, cols):
+        img, *_ = render_sharded(
+            mesh, cam, means, build_cov3d(scales, quats), op, cols, bg, cfg
+        )
+        return jnp.sum((img - target) ** 2)
+
+    g_ref = jax.grad(loss_single, argnums=(0, 1))(means, cols)
+    sh_means, sh_cols = shard_gaussians(mesh, (means, cols))
+    g_sh = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(sh_means, sh_cols)
+    for a, b in zip(g_ref, g_sh):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
