@@ -105,6 +105,66 @@ def make_workload(scale: float = 0.088, backend: str | None = None):
     return state, cam, rcfg, gt, bg, make_fwd_bwd
 
 
+def _variant_probe():
+    """Compile + run the NEW backward variants (sorted_mxu reduce, compact
+    d_slot layout — both kernels at once) on tiny shapes. Subprocess target:
+    a Mosaic lowering failure can kill the PROCESS, not just raise, and the
+    driver bench must never lose its result line to an experiment."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from opengaussian_tpu.cameras import Camera
+    from opengaussian_tpu.models.gaussians import create_from_pcd
+    from opengaussian_tpu.ops.rasterize import RasterizeConfig
+    from opengaussian_tpu.render import render
+    from opengaussian_tpu.train import losses
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    pts = np.stack([rng.normal(0, 0.6, n), rng.normal(0, 0.5, n),
+                    rng.uniform(2, 6, n)], -1).astype(np.float32)
+    st = create_from_pcd(pts, rng.uniform(0, 1, (n, 3)).astype(np.float32),
+                         capacity=n, seed=0)
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.1, 0.9, 320, 240)
+    cfg = RasterizeConfig(max_per_tile=512, chunk=64,
+                          min_intersections=65536, backend="pallas",
+                          reduce_backend="sorted_mxu", bwd_layout="compact")
+    gt = jnp.asarray(rng.uniform(0, 1, (240, 320, 3)).astype(np.float32))
+
+    def loss_fn(params):
+        out = render(cam, st.with_params(params), jnp.zeros(3), 3, cfg)
+        return losses.l1_loss(out.render, gt)
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(st.params())
+    jax.block_until_ready((loss, grads))
+    assert np.isfinite(float(loss))
+    print("variant probe ok", flush=True)
+
+
+def _probe_variants_survive() -> bool:
+    """Run _variant_probe in a subprocess; True iff it exits 0."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (f"import sys; sys.path.insert(0, {repo!r}); "
+            "import bench; bench._variant_probe()")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                           capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        print("# variant probe timed out — skipping variant A/B",
+              file=sys.stderr, flush=True)
+        return False
+    if r.returncode != 0:
+        tail = (r.stdout + r.stderr)[-400:].replace("\n", " | ")
+        print(f"# variant probe died (rc={r.returncode}): {tail}",
+              file=sys.stderr, flush=True)
+    return r.returncode == 0
+
+
 def _device_watchdog(timeout_s: float = 420.0):
     """Fail loudly if device discovery hangs. The axon TPU tunnel can go
     down for hours, and jax.devices() then blocks FOREVER (no exception) —
@@ -207,14 +267,61 @@ def main():
     mpix_s = timed(fwd_bwd, state)
     print(f"# calibrated workload: tuned budgets P={rcfg.max_intersections(N_GAUSS)} "
           f"K={rcfg.max_per_tile}", file=sys.stderr, flush=True)
+    print(f"# calibrated {rcfg.reduce_backend}/{rcfg.bwd_layout}(default): "
+          f"{mpix_s:.3f} Mpix/s", file=sys.stderr, flush=True)
+
+    # Opportunistic backward-variant A/B (TPU only): the sorted-MXU
+    # reduction and compact d_slot layout replace the two phases the device
+    # trace showed furthest from the hardware bound (scatter-add 15.2 ms,
+    # chunk-gather 3.7 ms of the ~66 ms heavy step), but their Mosaic
+    # lowerings can only be validated on a real chip. Each variant is
+    # parity-GATED against the default's gradients and exception-guarded —
+    # a variant that fails to lower or disagrees falls back silently, so
+    # the bench can never do worse than the chip-validated default. The
+    # headline takes the best surviving variant (and names it).
+    best_name = f"{rcfg.reduce_backend}/{rcfg.bwd_layout}"
+    if jax.default_backend() == "tpu" and _probe_variants_survive():
+        loss0, g0 = fwd_bwd(state)
+        jax.block_until_ready((loss0, g0))
+        for rb, bl in (("sorted_mxu", "dense"), ("scatter", "compact"),
+                       ("sorted_mxu", "compact")):
+            try:
+                cfg_v = dataclasses.replace(
+                    rcfg, reduce_backend=rb, bwd_layout=bl)
+                f_v = make_fwd_bwd(cfg_v)
+                _, g_v = f_v(state)
+                for k in g0:
+                    s = float(jnp.abs(g0[k]).max()) or 1.0
+                    err = float(jnp.abs(g_v[k] - g0[k]).max()) / s
+                    assert err < 1e-3, f"grad parity {k}: {err}"
+                v_mpix = timed(f_v, state)
+                print(f"# calibrated {rb}/{bl}: {v_mpix:.3f} Mpix/s",
+                      file=sys.stderr, flush=True)
+                if v_mpix > mpix_s:
+                    mpix_s, best_name = v_mpix, f"{rb}/{bl}"
+            except Exception as e:  # unlowered Mosaic path / parity miss
+                print(f"# calibrated {rb}/{bl}: SKIPPED ({e})",
+                      file=sys.stderr, flush=True)
+    print(f"# headline variant: {best_name}", file=sys.stderr, flush=True)
 
     # r1-heavy continuity number (~110 depth complexity, ~2x the anchor's
     # trained-scene load) — informational only
     heavy, _, hcfg, _, _, mk_heavy = make_workload(0.15)
     heavy_mpix = timed(mk_heavy(hcfg), heavy)
-    print(f"# r1-heavy workload: {heavy_mpix:.3f} Mpix/s "
+    print(f"# r1-heavy workload (default path): {heavy_mpix:.3f} Mpix/s "
           f"(vs_baseline {heavy_mpix / BASELINE_MPIX_S:.3f})",
           file=sys.stderr, flush=True)
+    if best_name != f"{rcfg.reduce_backend}/{rcfg.bwd_layout}":
+        try:
+            rb, bl = best_name.split("/")
+            hcfg_v = dataclasses.replace(hcfg, reduce_backend=rb, bwd_layout=bl)
+            hv = timed(mk_heavy(hcfg_v), heavy)
+            print(f"# r1-heavy workload ({best_name}): {hv:.3f} Mpix/s "
+                  f"(vs_baseline {hv / BASELINE_MPIX_S:.3f})",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# r1-heavy {best_name}: SKIPPED ({e})",
+                  file=sys.stderr, flush=True)
     print(
         json.dumps(
             dict(
