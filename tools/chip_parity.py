@@ -74,6 +74,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--refresh", action="store_true",
                     help="re-render and re-cache the XLA reference")
+    ap.add_argument("--reduce", default=None,
+                    choices=[None, "scatter", "sorted_mxu"],
+                    help="per-splat reduction backend for the Pallas side")
+    ap.add_argument("--layout", default=None, choices=[None, "dense", "compact"],
+                    help="backward d_slot layout for the Pallas side")
     args = ap.parse_args()
 
     from opengaussian_tpu.ops.rasterize import RasterizeConfig
@@ -86,7 +91,12 @@ def main():
         return
 
     z = np.load(REF)
-    img_p, alpha_p, gp = run(dataclasses.replace(base, backend="pallas"))
+    pcfg = dataclasses.replace(base, backend="pallas")
+    if args.reduce:
+        pcfg = dataclasses.replace(pcfg, reduce_backend=args.reduce)
+    if args.layout:
+        pcfg = dataclasses.replace(pcfg, bwd_layout=args.layout)
+    img_p, alpha_p, gp = run(pcfg)
     img_err = np.abs(img_p - z["img"]).max()
     print("img maxdiff", img_err, "alpha", np.abs(alpha_p - z["alpha"]).max())
     ok = img_err < 3e-4
