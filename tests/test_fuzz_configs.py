@@ -68,3 +68,37 @@ def test_fuzzed_config_parity(seed):
             s = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(b / s, a / s, atol=1e-3,
                                        err_msg=f"{layout}:{name}")
+
+
+def test_banded_gradients_compact_layout():
+    """rasterize_banded gradients (per-band custom VJP with nonzero tile
+    offsets) must match the single-pass XLA gradients under the Pallas
+    stream kernels with the compact backward layout — the one path where
+    the compact writer runs with tile_lo > 0."""
+    from opengaussian_tpu.ops.rasterize import rasterize_banded
+
+    cam = make_cam(64, 64)
+    means, scales, quats, op, cols = random_scene(150, seed=20)
+    cov = build_cov3d(scales, quats)
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+    target = jnp.asarray(
+        np.random.default_rng(20).uniform(size=(64, 64, 3)).astype(np.float32)
+    )
+    base = RasterizeConfig(max_per_tile=128, chunk=32, min_intersections=16384,
+                           backend="xla")
+    pcfg = dataclasses.replace(base, backend="pallas", bwd_layout="compact")
+
+    def loss_single(means, op, cols):
+        out = rasterize(cam, means, cov, op, cols, bg, base)
+        return jnp.sum((out.image - target) ** 2) + 0.05 * jnp.sum(out.alpha)
+
+    def loss_banded(means, op, cols):
+        out = rasterize_banded(cam, means, cov, op, cols, bg, pcfg, bands=3)
+        return jnp.sum((out.image - target) ** 2) + 0.05 * jnp.sum(out.alpha)
+
+    g_ref = jax.grad(loss_single, argnums=(0, 1, 2))(means, op, cols)
+    g_band = jax.grad(loss_banded, argnums=(0, 1, 2))(means, op, cols)
+    for name, a, b in zip(("means", "op", "cols"), g_ref, g_band):
+        a, b = np.asarray(a), np.asarray(b)
+        s = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / s, a / s, atol=1e-3, err_msg=name)
