@@ -1000,7 +1000,10 @@ def _reduce_kernel(nch_ref, lo_ref, rows_ref, out_ref, scratch, sems, *,
         # one-hot contraction: NaN * 0 == NaN) — clamp non-finite to zero
         vals = jnp.where(jnp.isfinite(vals), vals, 0.0)
         ids = vals[id_row:id_row + 1, :]  # [1, RCH] f32 (exact ints)
-        col = jax.lax.broadcasted_iota(jnp.float32, (WSEG, RCH), 0)
+        # tpu.iota only takes integer dtypes on real Mosaic (the CPU
+        # interpreter accepts f32 — caught on chip): iota int32, then sitofp
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (WSEG, RCH), 0).astype(jnp.float32)
         # arithmetic broadcast [1,RCH]-[WSEG,RCH] is supported (sublane
         # broadcast of compare/select is not) -> compare at full shape
         onehot = ((ids - jnp.float32(base)) - col == 0.0).astype(jnp.float32)
