@@ -1083,13 +1083,19 @@ def sorted_segment_reduce(rows, ids, n: int):
 # resolves to this at TRACE time — the config field is the per-call-site
 # switch (part of the jit cache key); this module default only sets what
 # "auto" means.
-REDUCE_BACKEND = "scatter"  # pending on-chip Mosaic validation + A/B
+# On-chip 2x2 A/B (v5e, 2026-08-18, tools/ab_reduce.py --iters 20, parity
+# gates < 1e-4 on every variant): sorted_mxu/dense wins both workloads —
+# heavy 66.1 -> 59.7 ms/step (19.0 -> 21.0 Mpix/s), calibrated 45.0 ms
+# (27.9 Mpix/s). compact layout loses ~1.4 ms when stacked on sorted_mxu
+# (the in-kernel compacted-offset DMAs cost more than the XLA chunk
+# compaction they replace), so BWD_LAYOUT stays "dense".
+REDUCE_BACKEND = "sorted_mxu"
 
 # Default backward d_slot layout: "dense" ([T, K, F] BlockSpec blocks + XLA
 # chunk compaction) or "compact" (direct compacted-offset DMA writes,
 # blend_stream_pallas_bwd_compact). Same trace-time resolution contract as
 # REDUCE_BACKEND: RasterizeConfig.bwd_layout="auto" reads this.
-BWD_LAYOUT = "dense"  # pending on-chip Mosaic validation + A/B
+BWD_LAYOUT = "dense"  # validated on chip; loses to dense when A/B'd (above)
 
 
 def _per_splat_reduce(rows, ids, n: int, backend: str = "auto"):
