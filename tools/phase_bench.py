@@ -1,0 +1,118 @@
+"""Ablation phase bench: wall-clock the pipeline prefixes on the real chip.
+
+The axon tunnel does not always expose a device track to jax.profiler (the
+trace_step fallback then only shows host threads), so this tool recovers a
+coarse phase split by TIMING PIPELINE PREFIXES with the exact bench.py
+methodology (jit, warmup, 20 timed iters, block_until_ready):
+
+    proj        projection only (cull, cov2d, radii)
+    proj+bin    + stream binning (carry pack, sort, searchsorted)
+    fwd         + Pallas blend forward + image assembly + L1 loss
+    fwd+bwd     + full backward (blend bwd kernel, reduction, projection VJP)
+
+Successive differences approximate per-phase device cost (XLA fuses slightly
+differently per prefix, so treat deltas as ~1 ms accurate).
+
+Usage:
+    python tools/phase_bench.py            # calibrated workload
+    python tools/phase_bench.py --heavy
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--heavy", action="store_true")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--reduce", default=None,
+                    help="override reduce_backend (scatter|sorted_mxu)")
+    ap.add_argument("--layout", default=None,
+                    help="override bwd_layout (dense|compact)")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import WIDTH, HEIGHT, make_workload
+    from opengaussian_tpu.ops.projection import TILE, build_cov3d, project
+    from opengaussian_tpu.ops.rasterize import _prepare
+    from opengaussian_tpu.render import render
+    from opengaussian_tpu.train import losses
+
+    scale = 0.15 if args.heavy else 0.088
+    state, cam, rcfg, gt, bg, make_fwd_bwd = make_workload(scale)
+    if args.reduce:
+        rcfg = dataclasses.replace(rcfg, reduce_backend=args.reduce)
+    if args.layout:
+        rcfg = dataclasses.replace(rcfg, bwd_layout=args.layout)
+    print(f"workload: scale={scale} P={rcfg.max_intersections(state.capacity)} "
+          f"K={rcfg.max_per_tile} reduce={rcfg.reduce_backend} "
+          f"layout={rcfg.bwd_layout} device={jax.default_backend()}",
+          flush=True)
+
+    def timed(fn, st):
+        out = fn(st)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(st)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / args.iters * 1e3
+
+    @jax.jit
+    def proj_only(gs):
+        p = project(gs.means, build_cov3d(gs.scales, gs.quats), cam,
+                    opacities=gs.opacity)
+        return (jnp.sum(p.mean2d), jnp.sum(p.conic), jnp.sum(p.depth),
+                jnp.sum(p.num_tiles), jnp.sum(p.radius))
+
+    @jax.jit
+    def proj_bin(gs):
+        payload = jnp.zeros((gs.capacity, 3))
+        proj, bins, pix, grids = _prepare(
+            cam, gs.means, build_cov3d(gs.scales, gs.quats), rcfg, None,
+            gs.opacity, payload=payload,
+        )
+        outs = [jnp.sum(bins.counts), bins.total]
+        if bins.sorted_gauss is not None:
+            outs.append(jnp.sum(bins.sorted_gauss))
+            outs.extend(jnp.sum(c) for c in bins.sorted_carry)
+        else:
+            outs.append(jnp.sum(bins.gauss_idx))
+        return tuple(outs)
+
+    @jax.jit
+    def fwd(gs):
+        out = render(cam, gs, bg, 3, rcfg)
+        return losses.l1_loss(out.render, gt)
+
+    fwd_bwd = make_fwd_bwd(rcfg)
+
+    rows = [
+        ("proj", timed(proj_only, state)),
+        ("proj+bin", timed(proj_bin, state)),
+        ("fwd(+loss)", timed(fwd, state)),
+        ("fwd+bwd", timed(fwd_bwd, state)),
+    ]
+    print(f"\n{'prefix':<12} {'ms/step':>9} {'delta':>9}")
+    prev = 0.0
+    for name, ms in rows:
+        print(f"{name:<12} {ms:9.2f} {ms - prev:9.2f}")
+        prev = ms
+    total = rows[-1][1]
+    mpix = WIDTH * HEIGHT / total / 1e3
+    print(f"\nfwd+bwd: {total:.2f} ms/step = {mpix:.2f} Mpix/s")
+
+
+if __name__ == "__main__":
+    main()
