@@ -42,8 +42,8 @@ class TileBins(NamedTuple):
     # run in the sorted stream (stream layout for the Pallas kernels)
     sorted_gauss: jnp.ndarray | None = None  # [P] int32 splat index per
     # sorted slot ((tile, depth) order; tiles are contiguous runs)
-    sorted_carry: tuple | None = None  # tuple of [P] f32 columns: the
-    # caller's `carry` table columns in sorted-slot order (see below)
+    sorted_carry: jnp.ndarray | None = None  # [P, D] f32: the caller's
+    # `carry` table rows in sorted-slot order (see below)
 
 
 def bin_gaussians(
@@ -65,12 +65,16 @@ def bin_gaussians(
     row-gather (~10 ms) of the dense formulation.
 
     carry [N, D] f32: per-splat columns to deliver in SORTED-slot order
-    (returned as TileBins.sorted_carry, a tuple of D [P] vectors). They ride
-    the expansion-order pack gather (sorted indices, ~6x cheaper than a
-    post-sort random-row gather on v5e) and the lax.sort value list (the TPU
-    sort's cost is dominated by the key, ~2 ms at 850k regardless of payload
-    width). This is how the blend kernels get their per-slot rows without
-    any random gather."""
+    (returned as TileBins.sorted_carry, a [P, D] matrix). Delivered by ONE
+    post-sort row gather carry[g_sorted] from the [N, D] table — NOT by
+    riding the sort as value operands. In isolation the sort is
+    key-dominated (~2 ms at 850k regardless of payload width) and the r2
+    design rode the carry through it; in a full training step the
+    15-operand sort costs ~15.7 ms (tools/bin_bisect.py: layout
+    copies/rematerialization around the barrier that the 2-operand sort
+    avoids), while sort(key, g) + one [P, D] row gather from [N, D]
+    measures ~7.5 ms cheaper in context AND shrinks the expansion pack
+    gather/transpose from 19 to 8 columns."""
     num_tiles = grid_x * grid_y
     if tile_hi is None:
         tile_hi = num_tiles
@@ -124,9 +128,7 @@ def bin_gaussians(
         ],
         axis=-1,
     )  # [N, 8]
-    if carry is not None:
-        pack = jnp.concatenate([pack, carry], axis=-1)  # [N, 8 + D]
-    pk = pack[g_safe]  # [P, 8 (+ D)] — expansion order: indices ascend
+    pk = pack[g_safe]  # [P, 8] — expansion order: indices ascend
     # ONE transpose to [8, P] so every lane below is a CONTIGUOUS [P] vector:
     # column slices of the (8,128)-tiled [P, 8] layout are strided reads the
     # XLA cost model prices at ~5 ms per consumer fusion at P=850k (~14 ms
@@ -168,33 +170,30 @@ def bin_gaussians(
     hits = (cx - nx) ** 2 + (cy - ny) ** 2 <= rad * rad
     tile_id = jnp.where(slot_valid & hits, ty * grid_x + tx, num_tiles)
 
-    # the caller's carry columns ride the sort as extra values (the TPU sort
-    # cost is key-dominated; see `carry` in the docstring)
-    carry_exp = tuple(pkT[8:]) if carry is not None else ()
+    # sort ONLY (key, splat index); the carry rows are row-gathered from the
+    # per-splat table afterwards (see `carry` in the docstring)
     bits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
     bits_rank = max(int(np.ceil(np.log2(n + 1))), 1)
     if bits_tile + bits_rank <= 31:
         key = (tile_id << bits_rank) | rank_slot
         out = jax.lax.sort(
-            (key, g_safe.astype(jnp.int32)) + carry_exp,
-            num_keys=1, is_stable=False,
+            (key, g_safe.astype(jnp.int32)), num_keys=1, is_stable=False,
         )
         # barrier: without it XLA runs the sort twice (once for the counts
         # chain, once for the scatter chain)
         out = jax.lax.optimization_barrier(out)
-        key_s, g_sorted = out[0], out[1]
-        sorted_carry = tuple(out[2:])
+        key_s, g_sorted = out
         tile_s = key_s >> bits_rank
     else:
         # stable two-key int sort: tile major, depth rank minor
         out = jax.lax.sort(
-            (tile_id, rank_slot, g_safe.astype(jnp.int32)) + carry_exp,
+            (tile_id, rank_slot, g_safe.astype(jnp.int32)),
             num_keys=2,
             is_stable=False,  # keys are unique as a pair
         )
         out = jax.lax.optimization_barrier(out)
         tile_s, g_sorted = out[0], out[2]
-        sorted_carry = tuple(out[3:])
+    sorted_carry = carry[g_sorted] if carry is not None else None  # [P, D]
 
     # per-tile ranges (band queries only). NOTE: a scatter-max of
     # (k_of_slot + 1) over the band looks cheaper than a searchsorted call
@@ -239,13 +238,17 @@ def bin_gaussians(
     # The sort and all integer plumbing feed both the forward blend and the
     # backward reduction; without a barrier XLA rematerializes the whole
     # chain in the backward pass (measured ~40 ms/step of pure waste).
+    has_carry = stream and carry is not None
     pin = [counts] + ([gauss_idx] if dense else []) \
-        + ([g_sorted, tstart] if stream else [])
+        + ([g_sorted, tstart] if stream else []) \
+        + ([sorted_carry] if has_carry else [])
     pin = jax.lax.optimization_barrier(tuple(pin))
     counts = pin[0]
     if dense:
         gauss_idx = pin[1]
-    if stream:
+    if has_carry:
+        g_sorted, tstart, sorted_carry = pin[-3], pin[-2], pin[-1]
+    elif stream:
         g_sorted, tstart = pin[-2], pin[-1]
 
     return TileBins(

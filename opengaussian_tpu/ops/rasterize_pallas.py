@@ -818,7 +818,7 @@ def blend_tiles_pallas_stream(mean2d, conic, opac, payload, sorted_carry,
                               stream_ids, tstart, counts, tile_offset, chunk,
                               grid_x, max_chunks, max_per_tile,
                               reduce_backend="auto", bwd_layout="auto"):
-    """sorted_carry: tuple of [P] f32 columns in sorted-slot order —
+    """sorted_carry: [P, D] f32 rows in sorted-slot order —
     (mean2d x/y, conic a/b/c, opac, payload..C) delivered by
     bin_gaussians(carry=...). mean2d/conic/opac/payload are the per-splat
     originals, used only as the cotangent structure (the custom backward
@@ -840,8 +840,9 @@ def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
     # rows — an explicit [NC, chunk] window gather of the id stream lowers
     # to a per-element XLA gather and costs ~10 ms/step on v5e.
     assert n < 2**24, "stream kernel id column is exact f32 only below 2^24"
-    cols = tuple(sorted_carry) + (stream_ids.astype(jnp.float32),)
-    rows = jnp.stack(cols, axis=-1)  # [P, f]
+    rows = jnp.concatenate(
+        [sorted_carry, stream_ids[:, None].astype(jnp.float32)], axis=-1
+    )  # [P, f]
     f = rows.shape[1]
     # lane-pad the rows (DMA slices need a 128-multiple minor dim) and add
     # K rows of zero padding: windows of empty tail tiles read [P, P+K)
@@ -917,7 +918,7 @@ def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, reduce_backend,
     d_payload = per_gauss[:, 6:F - 1]
     zero_i = lambda s: np.zeros(s, jax.dtypes.float0)
     P_slots = rows.shape[0] - K
-    d_carry = tuple(zero_i((P_slots,)) for _ in range(n_carry))
+    d_carry = zero_i((P_slots, n_carry))
     return (d_mean2d, d_conic, d_opac, d_payload, d_carry,
             zero_i((P_slots,)), zero_i(tstart.shape),
             zero_i(counts.shape), zero_i(tile_offset.shape))

@@ -4,7 +4,10 @@ Times each suspected cost center of ops/binning.py in isolation, with an
 iteration-varying scalar folded into the inputs so the axon tunnel's
 identical-args memoization cannot fake the numbers (the trace_step pitfall).
 
-Usage: python tools/micro_bench.py [--p 851968] [--n 200000] [--cols 13]
+Usage: python tools/micro_bench.py [--p 851968] [--n 200000] [--cols 10]
+
+--cols defaults to the production stream carry width (mean2d 2 + conic 3 +
+opacity 1 + rgb payload 3 + depth 1 = 10).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--p", type=int, default=851968)
     ap.add_argument("--n", type=int, default=200_000)
-    ap.add_argument("--cols", type=int, default=13)
+    ap.add_argument("--cols", type=int, default=10)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 

@@ -61,23 +61,34 @@ def main():
           flush=True)
 
     def timed(fn, st):
-        out = fn(st)
+        # iteration-varying scalar folded into the opacity: the axon tunnel
+        # memoizes identical-args calls (trace_step pitfall; micro_bench and
+        # bin_bisect defeat it the same way), so fixed-input loops here
+        # would "measure" near-zero exactly when the profiler fallback this
+        # tool exists for is in play.
+        out = fn(jnp.int32(0), st)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(st)
+        for i in range(args.iters):
+            out = fn(jnp.int32(i + 1), st)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / args.iters * 1e3
 
+    def perturb(gs, i):
+        return dataclasses.replace(
+            gs, logit_opacity=gs.logit_opacity + 1e-6 * i.astype(jnp.float32))
+
     @jax.jit
-    def proj_only(gs):
+    def proj_only(i, gs):
+        gs = perturb(gs, i)
         p = project(gs.means, build_cov3d(gs.scales, gs.quats), cam,
                     opacities=gs.opacity)
         return (jnp.sum(p.mean2d), jnp.sum(p.conic), jnp.sum(p.depth),
                 jnp.sum(p.num_tiles), jnp.sum(p.radius))
 
     @jax.jit
-    def proj_bin(gs):
+    def proj_bin(i, gs):
+        gs = perturb(gs, i)
         payload = jnp.zeros((gs.capacity, 3))
         proj, bins, pix, grids = _prepare(
             cam, gs.means, build_cov3d(gs.scales, gs.quats), rcfg, None,
@@ -86,17 +97,22 @@ def main():
         outs = [jnp.sum(bins.counts), bins.total]
         if bins.sorted_gauss is not None:
             outs.append(jnp.sum(bins.sorted_gauss))
-            outs.extend(jnp.sum(c) for c in bins.sorted_carry)
+            if bins.sorted_carry is not None:
+                outs.append(jnp.sum(bins.sorted_carry, axis=0))
         else:
             outs.append(jnp.sum(bins.gauss_idx))
         return tuple(outs)
 
     @jax.jit
-    def fwd(gs):
-        out = render(cam, gs, bg, 3, rcfg)
+    def fwd(i, gs):
+        out = render(cam, perturb(gs, i), bg, 3, rcfg)
         return losses.l1_loss(out.render, gt)
 
-    fwd_bwd = make_fwd_bwd(rcfg)
+    _fwd_bwd = make_fwd_bwd(rcfg)
+
+    @jax.jit
+    def fwd_bwd(i, gs):
+        return _fwd_bwd(perturb(gs, i))
 
     rows = [
         ("proj", timed(proj_only, state)),
