@@ -224,9 +224,14 @@ def refine_sam_masks(
     anchor_stride: int = ANCHOR_STRIDE,
     bg=None,
     trace=None,  # refine/introspect.RefinerTrace, or None
+    sharded_fns=None,  # parallel/refine.make_refiner_fns(...) namespace
 ) -> np.ndarray:
     """-> refined [V, H, W] cross-view-consistent ids (-1 void, like the
-    reference's final masks)."""
+    reference's final masks).
+
+    sharded_fns: under `Trainer(mesh=...)` the per-view device passes route
+    through the mesh-sharded twins (parallel/refine.py) so `gs` can stay
+    sharded over the mesh — the host graph-merge below is identical."""
     V = len(cameras)
     max_ids = int(sam_ids.max())
     if max_ids == 0:
@@ -238,14 +243,19 @@ def refine_sam_masks(
     # per-camera depth maps + per-splat votes/visibility
     votes_all, vis_all = [], []
     for v in range(V):
-        out = rasterize(
-            cameras[v], gs.means, build_cov3d(gs.scales, gs.quats),
-            gs.opacity, jnp.zeros((gs.capacity, 1)), jnp.zeros(1), config,
-        )
-        depth = out.depth / jnp.maximum(out.alpha, 1e-6)
-        votes, vis = splat_id_votes(
-            gs, cameras[v], jnp.asarray(sam_ids[v]), depth, max_ids, config
-        )
+        if sharded_fns is not None:
+            votes, vis, depth = sharded_fns.depth_votes(
+                gs, cameras[v], jnp.asarray(sam_ids[v]), max_ids
+            )
+        else:
+            out = rasterize(
+                cameras[v], gs.means, build_cov3d(gs.scales, gs.quats),
+                gs.opacity, jnp.zeros((gs.capacity, 1)), jnp.zeros(1), config,
+            )
+            depth = out.depth / jnp.maximum(out.alpha, 1e-6)
+            votes, vis = splat_id_votes(
+                gs, cameras[v], jnp.asarray(sam_ids[v]), depth, max_ids, config
+            )
         votes_all.append(np.asarray(votes))
         vis_all.append(np.asarray(vis))
         if trace is not None:
@@ -321,10 +331,16 @@ def refine_sam_masks(
         n_match = np.bincount(splat_gid[match_v],
                               minlength=n_gids + 1)[1:].astype(np.float32)
         synced_v = local2global[v][sam_ids[v]].astype(np.int32)
-        weights = pixel_weight_accumulation(
-            gs, cameras[v], gid_j, jnp.asarray(match_v),
-            jnp.asarray(synced_v), jnp.asarray(n_match), n_gids, config,
-        )
+        if sharded_fns is not None:
+            weights = sharded_fns.pixel_weights(
+                gs, cameras[v], gid_j, jnp.asarray(match_v),
+                jnp.asarray(synced_v), jnp.asarray(n_match), n_gids,
+            )
+        else:
+            weights = pixel_weight_accumulation(
+                gs, cameras[v], gid_j, jnp.asarray(match_v),
+                jnp.asarray(synced_v), jnp.asarray(n_match), n_gids, config,
+            )
         wnp = np.asarray(weights)
         best = wnp.argmax(axis=-1)
         wmax = wnp.max(axis=-1)

@@ -999,27 +999,19 @@ class Trainer:
 
             trace = RefinerTrace(self.out_dir)
         state = self.state
+        sharded_fns = None
         if self.mesh is not None:
-            # the refiner is a one-shot host-orchestrated pass over
-            # single-device renders; gather the sharded state ONCE here
-            # instead of letting each of its ~3V jitted calls implicitly
-            # re-gather (its host graph-merge stage is inherently
-            # single-process anyway)
-            if jax.process_count() > 1:
-                # multi-host mesh: device_put onto one global device would
-                # target a non-addressable device on every other process —
-                # allgather the full state to every host instead (each host
-                # then refines redundantly-but-identically, like the other
-                # host-side stage boundaries)
-                from jax.experimental import multihost_utils
+            # the state STAYS sharded: the refiner's device passes (depth
+            # render, id votes, stage-2 accumulation) route through the
+            # mesh-sharded twins; only the replicated per-view outputs
+            # ([N, M] votes, [H, W, M] weights) reach the host graph-merge,
+            # which every process runs redundantly-but-identically
+            from opengaussian_tpu.parallel.refine import make_refiner_fns
 
-                # tiled=True: global non-fully-addressable arrays come back
-                # as their (already-global) value, not stacked per process
-                state = multihost_utils.process_allgather(state, tiled=True)
-            state = jax.device_put(state, jax.local_devices()[0])
+            sharded_fns = make_refiner_fns(self.mesh, self.rcfg)
         refined = refine_sam_masks(
             state, cams, np.asarray(self.bundle.sam_ids), self.rcfg,
-            trace=trace,
+            trace=trace, sharded_fns=sharded_fns,
         )
         ids = np.maximum(refined, 0).astype(np.int32)  # -1 void -> 0 invalid
         new_max = int(np.ceil(max(int(ids.max()), 8) / 8) * 8)
