@@ -201,28 +201,127 @@ def make_sweep_fns(mesh: Mesh, config: RasterizeConfig, k1: int, k2: int,
 
     @jax.jit
     def lang_view(gs, leaf_ids, camera, pseudo_feat, pseudo_ids, occur_row, bg):
+        """All k1 roots of one view, projection HOISTED out of the root scan
+        (VERDICT r3 item 5): ONE sharded projection + table gather + binning
+        per view, plus one gather each of the small per-splat vectors
+        (opacity, alive, leaf id). The k1-root scan then runs with NO
+        N-sized collectives — each iteration blends the device's own tile
+        rows against per-root opacity masks built from the replicated
+        vectors, and only the [k2, T/d]-tile blend results are gathered for
+        scoring. The previous shape all-gathered the full projected table +
+        payload + a [k2, N] opacity matrix once PER ROOT (k1x the traffic).
+        tests/test_sweeps_sharded.py asserts the scan body is free of
+        per-splat collectives and parity with the single-device sweep."""
         feat = encoded_ins_feat(gs, None, origin_feat=True)
         cov = build_cov3d(gs.scales, gs.quats)
         fbg = jnp.concatenate([bg, bg])
         pm, pm_valid = masku.masks_onehot(pseudo_ids, max_masks)
         p_mean = masku.mask_feature_mean(pseudo_feat, pm)
 
-        def body(_, root_id):
-            group_ids = root_id * k2 + jnp.arange(k2)
-            opac_g, counts = _cluster_opacities(
-                gs, leaf_ids, group_ids, better_vis=False,
-                scale_limit=COARSE_SCALE_LIMIT,
-            )
-            imgs, alphas, _lost = render_groups_sharded(
-                mesh, camera, gs.means, cov, opac_g, feat, fbg, config, axis
-            )
-            valid = counts >= lang_mod.MIN_LEAF_POINTS
-            res = lang_mod.score_leaves(
-                imgs, alphas, valid, pm, pm_valid, p_mean, occur_row[root_id]
-            )
-            return None, res
+        H, W = camera.height, camera.width
+        grid_x = (W + TILE - 1) // TILE
+        grid_y = (H + TILE - 1) // TILE
+        T = grid_x * grid_y
+        nd = mesh.shape[axis]
+        Tp = ((T + nd - 1) // nd) * nd
+        tl = Tp // nd
+        C = feat.shape[1]
+        n_total = gs.capacity
+        P_budget = config.max_intersections(n_total)
 
-        _, (mid, sc, ok) = jax.lax.scan(body, None, jnp.arange(k1))
-        return mid.reshape(-1), sc.reshape(-1), ok.reshape(-1)
+        def local(cam, means, cov_, opac, alive, leaf, pay, pm_, pmv_,
+                  pmean_, occ_, bg_):
+            r = jax.lax.axis_index(axis)
+            # matches render_clusters semantics: keep = member & alive, so a
+            # splat's tight radius uses its real opacity wherever alive
+            opac_alive = jnp.where(alive, opac, 0.0)
+            proj = project(
+                means, cov_, cam,
+                opacities=opac_alive if config.tight_radius else None,
+            )
+            proj, pay_f, opac_f = _gather_proj(proj, pay, opac_alive, axis)
+            ag = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
+            alive_f = ag(alive)
+            leaf_f = ag(leaf)
+            bins = bin_gaussians(proj, grid_x, grid_y, P_budget,
+                                 config.max_per_tile, dense=True)
+            t0 = r * tl
+            counts_t = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(bins.counts, (0, Tp - T)), t0, tl, axis=0
+            )
+            idx = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(bins.gauss_idx, ((0, Tp - T), (0, 0))), t0, tl, axis=0
+            )
+            pix = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(_tile_pixels(grid_x, grid_y),
+                        ((0, Tp - T), (0, 0), (0, 0))),
+                t0, tl, axis=0,
+            )
+            full_pay = jnp.concatenate([pay_f, proj.depth[:, None]], axis=-1)
+
+            if config.use_pallas():
+                from opengaussian_tpu.ops.rasterize_pallas import (
+                    blend_tiles_pallas,
+                )
+
+                max_chunks = P_budget // config.chunk + tl
+
+                def one(op_full):
+                    opac_m = jnp.where(proj.valid, op_full, 0.0)
+                    return blend_tiles_pallas(
+                        proj.mean2d, proj.conic, opac_m, full_pay, idx,
+                        counts_t, t0[None].astype(jnp.int32), config.chunk,
+                        grid_x, max_chunks,
+                    )
+            else:
+
+                def one(op_full):
+                    opac_m = jnp.where(proj.valid, op_full, 0.0)
+                    return _blend_tiles(
+                        proj.mean2d, proj.conic, opac_m, full_pay, idx,
+                        counts_t, pix, config.chunk,
+                    )
+
+            def untile(x):
+                G = x.shape[0]
+                ch = x.shape[-1]
+                x = x[:, :T].reshape(G, grid_y, grid_x, TILE, TILE, ch)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    G, grid_y * TILE, grid_x * TILE, ch
+                )
+                return x[:, :H, :W]
+
+            def body(_, root_id):
+                group_ids = root_id * k2 + jnp.arange(k2)
+                keep = (leaf_f[None, :] == group_ids[:, None]) & alive_f[None, :]
+                counts_g = keep.sum(axis=-1)
+                opac_g = jnp.where(keep, opac_f[None, :], 0.0)  # [k2, N]
+                accum, t_final = jax.vmap(one)(opac_g)  # [k2,tl,256,C+1]
+                blended = jnp.concatenate(
+                    [accum[..., :C] + t_final[..., None] * bg_[None, None, None],
+                     (1.0 - t_final)[..., None]], axis=-1,
+                )
+                blended = jax.lax.all_gather(blended, axis, axis=1, tiled=True)
+                full = untile(blended)  # [k2, H, W, C+1] replicated
+                valid = counts_g >= lang_mod.MIN_LEAF_POINTS
+                res = lang_mod.score_leaves(
+                    full[..., :C], full[..., C], valid, pm_, pmv_, pmean_,
+                    occ_[root_id],
+                )
+                return None, res
+
+            _, (mid, sc, ok) = jax.lax.scan(body, None, jnp.arange(k1))
+            return mid.reshape(-1), sc.reshape(-1), ok.reshape(-1)
+
+        pspec = P(axis)
+        cam_spec = jax.tree.map(lambda _: P(), camera)
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(cam_spec, pspec, pspec, pspec, pspec, pspec, pspec,
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(camera, gs.means, cov, gs.opacity, gs.alive, leaf_ids, feat,
+          pm, pm_valid, p_mean, occur_row, fbg)
 
     return SimpleNamespace(sweep1=sweep1, sweep2=sweep2, lang_view=lang_view)

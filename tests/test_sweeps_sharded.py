@@ -185,3 +185,59 @@ def test_trainer_mesh_routes_sweeps_sharded(tmp_path):
     res = tr.run_stage3()
     assert "cluster_lang" in res or isinstance(res, dict)
     assert len(tr.state.means.sharding.device_set) == 8
+
+
+def _walk_eqns(jaxpr):
+    """Yield (eqn, path) over a jaxpr and all nested sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        yield eqn
+        for v in eqn.params.values():
+            inner = getattr(v, "jaxpr", None)
+            if inner is not None and hasattr(inner, "eqns"):
+                yield from _walk_eqns(inner)
+            elif hasattr(v, "eqns"):
+                yield from _walk_eqns(v)
+
+
+def test_lang_view_scan_body_has_no_per_splat_collectives(scene):
+    """VERDICT r3 item 5: the stage-3 root scan must not re-gather the
+    projected table per root. Structural check on the jaxpr: inside any
+    `scan`, every all_gather operand must be tile-sized (leading dim == k2
+    group count), never per-splat (capacity or capacity/8)."""
+    import jax
+
+    gs, gs_sh, cam, cls_ids, cls_sh, sam, fns = scene
+    bg = jnp.zeros(3)
+    leaf = np.full(gs.capacity, K1 * K2, np.int32)
+    leaf_ids = jnp.asarray(leaf)
+    pf, pids = pseudo_mod._sweep1_view(gs, cam, sam, bg, MAX_MASKS, RCFG)
+    occur = jnp.ones((K1,), bool)
+    closed = jax.make_jaxpr(fns.lang_view)(
+        gs_sh, shard_gaussians(make_mesh(8), leaf_ids), cam, pf, pids,
+        occur, bg,
+    )
+    cap = gs.capacity
+    splat_dims = {cap, cap // 8}
+
+    def scan_bodies(jaxpr):
+        for eqn in jaxpr.eqns:
+            subs = [
+                v for v in eqn.params.values()
+                if hasattr(getattr(v, "jaxpr", v), "eqns")
+            ]
+            if eqn.primitive.name == "scan":
+                yield from subs
+            for s in subs:
+                yield from scan_bodies(getattr(s, "jaxpr", s))
+
+    n_scans = 0
+    for body in scan_bodies(closed.jaxpr):
+        n_scans += 1
+        for eqn in _walk_eqns(getattr(body, "jaxpr", body)):
+            if "all_gather" in eqn.primitive.name:
+                for invar in eqn.invars:
+                    shape = getattr(invar.aval, "shape", ())
+                    assert not (shape and shape[0] in splat_dims), (
+                        f"per-splat all_gather inside root scan: {shape}"
+                    )
+    assert n_scans >= 1  # the root scan itself must exist
