@@ -59,6 +59,16 @@ ANCHOR_STRIDE = 1000
 EXPANSION_THRESHOLD = 0.5  # final per-pixel weight gate (:1287-1302)
 
 
+def _host(x) -> np.ndarray:
+    """np.asarray that also works on multi-host-sharded leaves (the graph
+    merge below needs the GLOBAL opacity/alive vectors on every process)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def _tile_sam_onehot(sam_ids, grid_x, grid_y, max_ids):
     """[H, W] ids -> [T, 256, M] one-hot (id 0 = invalid excluded)."""
     H, W = sam_ids.shape
@@ -238,7 +248,7 @@ def refine_sam_masks(
         return np.where(sam_ids > 0, sam_ids, -1)
     bg = jnp.zeros(3) if bg is None else bg
     if trace is not None:
-        trace.log_scene(gs.means, gs.alive)
+        trace.log_scene(_host(gs.means), _host(gs.alive))
 
     # per-camera depth maps + per-splat votes/visibility
     votes_all, vis_all = [], []
@@ -267,8 +277,8 @@ def refine_sam_masks(
     # The per-anchor winners are precomputed in ONE vectorized argmax pass
     # ([V, A] scalars) so the merge loop only touches scalars — the naive
     # per-(anchor, view) [M]-vector reads are O(A*V*M) numpy-dispatch-bound.
-    opac = np.asarray(gs.opacity)
-    anchors = np.flatnonzero((opac >= ANCHOR_OPACITY) & np.asarray(gs.alive))
+    opac = _host(gs.opacity)
+    anchors = np.flatnonzero((opac >= ANCHOR_OPACITY) & _host(gs.alive))
     anchors = anchors[::anchor_stride] if len(anchors) else anchors
     win_lid = np.zeros((V, len(anchors)), np.int32)  # 0 = no winner
     if len(anchors):

@@ -22,8 +22,23 @@ from opengaussian_tpu.models.optimizer import AdamState
 from opengaussian_tpu.ops.kmeans import KMeansState
 
 
+def _to_host(x):
+    """np.asarray that also works for multi-host-sharded jax.Arrays: a leaf
+    sharded over a multi-process mesh is not fully addressable, so each
+    process all-gathers it once (tiled => the global value, not a
+    per-process stack) before converting."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def save(path: str, state: GaussianState, adam: AdamState, stats: DensifyStats,
          kmeans: KMeansState | None, iteration: int, extra: dict | None = None):
+    """Multi-host note: every process materializes the global tree (the
+    gathers in _to_host are collective), but only process 0 writes the file
+    — the out_dir is typically a shared filesystem."""
     tree = {
         "state": dataclasses.asdict(state),
         "adam": {"mu": adam.mu, "nu": adam.nu, "count": adam.count},
@@ -39,11 +54,17 @@ def save(path: str, state: GaussianState, adam: AdamState, stats: DensifyStats,
             for k, v in d.items():
                 rec(f"{prefix}/{k}", v)
         else:
-            flat[prefix] = np.asarray(d)
+            flat[prefix] = _to_host(d)
 
     rec("", tree)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **flat)
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, **flat)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # don't let another process race ahead and load a half-written file
+        multihost_utils.sync_global_devices("checkpoint_save")
 
 
 def load(path: str):

