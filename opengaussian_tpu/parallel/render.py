@@ -40,6 +40,12 @@ from opengaussian_tpu.train import losses
 
 
 def _gather_proj(proj: Projected, payload, opac, axis: str):
+    # The AD transpose of this gather is a psum_scatter (reduce-scatter) of
+    # the per-splat gradient tables back to their owner shards. Compiled
+    # for a real v5e 2x4 topology (tools/topology_probe.py), XLA's TPU
+    # backend rewrites that reduce-scatter into ONE combined sync
+    # all-reduce + local slice at small table sizes — see SCALING_r04.json
+    # for the measured schedule and the scale at which that changes.
     ag = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
     proj_full = Projected(
         mean2d=ag(proj.mean2d),

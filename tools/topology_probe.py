@@ -1,0 +1,186 @@
+"""AOT-compile the sharded stage-0 step for a REAL multi-chip TPU topology
+and report the collective schedule (VERDICT r3 item 6: grad-reduce /
+backward overlap evidence).
+
+Multi-chip hardware is not available in this environment, but XLA's AOT
+path compiles against an ABSTRACT topology (jax.experimental.topologies),
+producing the exact optimized + scheduled HLO a v5e 2x4 slice would run —
+including the latency-hiding scheduler's async/sync decisions. This is
+stronger evidence than a virtual CPU mesh (which neither schedules for ICI
+nor emits TPU collective algorithms).
+
+Reports, for the entry computation:
+  * every collective: kind, shape/bytes, sync or async, and for async pairs
+    the number of compute ops scheduled between start and done;
+  * where the per-Gaussian gradient reduction sits relative to the
+    backward while-loop and the Adam update fusions;
+  * total collective bytes per step.
+
+r4 finding (recorded in SCALING_r04.json): JAX emits the grad reduction
+as a reduce-scatter (the all_gather transpose), but XLA's TPU backend
+rewrites it into ONE combined SYNC all-reduce + local slice — the
+reduction region keeps its op_name="reduce_scatter" parameters as the
+tell. Probe --capacity to find the size where the rewrite stops.
+
+Run: python tools/topology_probe.py [--topology v5e:2x4] [--out FILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all")
+
+
+def dtype_bytes(s):
+    return {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1,
+            "f16": 2, "s16": 2, "s8": 1, "u8": 1}.get(s, 4)
+
+
+def shape_bytes(sig):
+    """'f32[1024,3]{...}' -> bytes; tuples sum their elements."""
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", sig):
+        dt, dims = m.group(1), m.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * dtype_bytes(dt)
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--topology", default="v5e:2x4")
+    ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--hlo-out", default=None, help="dump full HLO here")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from opengaussian_tpu.cameras import Camera
+    from opengaussian_tpu.config import OptimizationConfig
+    from opengaussian_tpu.models import gaussians as G
+    from opengaussian_tpu.models import optimizer as opt_mod
+    from opengaussian_tpu.ops.rasterize import RasterizeConfig
+    from opengaussian_tpu.parallel.steps import make_sharded_steps
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name=args.topology)
+    mesh = Mesh(np.array(topo.devices), ("dev",))
+    nd = len(topo.devices)
+    print(f"topology {args.topology}: {nd} devices", flush=True)
+
+    cap = args.capacity
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.normal(0, 0.5, cap), rng.normal(0, 0.4, cap),
+                    rng.uniform(2, 5, cap)], -1).astype(np.float32)
+    state = G.create_from_pcd(
+        pts, rng.uniform(0, 1, (cap, 3)).astype(np.float32),
+        capacity=cap, seed=0)
+    adam = opt_mod.init(state.params())
+    stats = G.DensifyStats.zeros(cap)
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.0, 0.8, 256, 192)
+    rcfg = RasterizeConfig(max_per_tile=128, chunk=32,
+                           min_intersections=32768)
+    steps = make_sharded_steps(mesh, rcfg, OptimizationConfig(), 1.0)
+
+    def sds(x, shard_leading):
+        x = np.asarray(x)
+        if shard_leading and x.ndim >= 1 and x.shape[0] == cap:
+            sh = NamedSharding(mesh, P("dev", *([None] * (x.ndim - 1))))
+        else:
+            sh = NamedSharding(mesh, P())
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+    state_s = jax.tree.map(lambda x: sds(x, True), state)
+    adam_s = opt_mod.AdamState(
+        mu=jax.tree.map(lambda x: sds(x, True), adam.mu),
+        nu=jax.tree.map(lambda x: sds(x, True), adam.nu),
+        count=sds(adam.count, False))
+    stats_s = jax.tree.map(lambda x: sds(x, True), stats)
+    rep = lambda shape, dt: jax.ShapeDtypeStruct(
+        shape, dt, sharding=NamedSharding(mesh, P()))
+    cam_s = jax.tree.map(lambda x: sds(x, False), cam)
+
+    lowered = jax.jit(steps.stage0).lower(
+        state_s, adam_s, stats_s, cam_s, rep((192, 256, 3), np.float32),
+        None, rep((), np.int32), rep((3,), np.float32))
+    txt = lowered.compile().as_text()
+    if args.hlo_out:
+        open(args.hlo_out, "w").write(txt)
+        print(f"HLO -> {args.hlo_out} ({len(txt)} bytes)")
+
+    entry = txt[txt.index("ENTRY %main"):]
+    lines = [l.strip() for l in entry.split("\n")]
+    report, total_bytes = [], 0
+    whiles = [i for i, l in enumerate(lines)
+              if re.search(r"= \([^=]* while\(|= \S+ while\(", l)]
+    for i, l in enumerate(lines):
+        # the result signature may be a tuple with nested braces — match
+        # lazily up to the collective name itself
+        m = re.search(
+            r"%(\S+) = (.*?) (" + "|".join(COLLECTIVES) +
+            r")(-start)?\(", l)
+        if not m:
+            continue
+        name, sig, kind, is_start = m.groups()
+        if "-done" in l or "parameter" in sig:
+            continue
+        b = shape_bytes(sig)
+        total_bytes += b
+        compute_in_flight = None
+        if is_start:
+            for j in range(i + 1, len(lines)):
+                if f"%{name})" in lines[j] or f"%{name}," in lines[j]:
+                    if "-done" in lines[j]:
+                        compute_in_flight = sum(
+                            1 for k in range(i + 1, j)
+                            if re.search(r"= \S+.*(fusion|while|dot|"
+                                         r"convolution)\(", lines[k]))
+                        break
+        meta = re.search(r'op_name="([^"]*)"', l)
+        report.append(dict(
+            name=name, kind=kind + ("-start" if is_start else ""),
+            bytes=b, sync=not bool(is_start),
+            compute_ops_in_flight=compute_in_flight,
+            after_last_while=bool(whiles and i > max(whiles)),
+            op_name=(meta.group(1) if meta else "")[-80:],
+        ))
+
+    print(f"\n{'kind':28s} {'bytes':>10s} {'sync':>5s} "
+          f"{'in-flight':>9s}  op_name")
+    for r in report:
+        print(f"{r['kind']:28s} {r['bytes']:>10d} "
+              f"{str(r['sync']):>5s} {str(r['compute_ops_in_flight']):>9s}  "
+              f"{r['op_name'][-60:]}")
+    n_sync = sum(1 for r in report if r["sync"])
+    print(f"\ncollectives: {len(report)} ({n_sync} sync), "
+          f"total {total_bytes / 1e6:.3f} MB/step at cap={cap}")
+    grad_ops = [r for r in report if r["after_last_while"]]
+    print(f"grad-reduction collectives after the backward while-loop: "
+          f"{[(r['kind'], r['bytes']) for r in grad_ops]}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(dict(topology=args.topology, capacity=cap,
+                           collectives=report,
+                           total_bytes_per_step=total_bytes), f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
