@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sam_level", type=int, default=None)
     p.add_argument("--frozen_init_pts", action="store_true", default=None)
     p.add_argument("--save_memory", action="store_true", default=None)
+    p.add_argument("--lazy_load", action="store_true",
+                   help="decode view pixels/sidecars from disk on access "
+                        "(host RSS holds ~1 view, not V); implies "
+                        "--save_memory")
     p.add_argument("--enable_multiview_sam_refinement", action="store_true",
                    default=None)
     p.add_argument("--random_background", action="store_true", default=None)
@@ -91,6 +95,9 @@ def main(argv=None):
         )
         if getattr(args, k) is not None
     }
+    if args.lazy_load:
+        # lazy views require host-resident bundles (one-view device window)
+        opt_over["save_memory"] = True
     cfg = Config(
         model=ModelConfig(
             source_path=args.source_path,
@@ -107,7 +114,8 @@ def main(argv=None):
 
     print(f"Loading scene {args.source_path} ...", flush=True)
     scene = load_scene(
-        args.source_path, args.images, args.white_background, args.eval, args.resolution
+        args.source_path, args.images, args.white_background, args.eval,
+        args.resolution, lazy=args.lazy_load,
     )
     print(
         f"{len(scene.train_views)} train / {len(scene.test_views)} test views, "

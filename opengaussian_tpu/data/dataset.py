@@ -78,12 +78,18 @@ def _choose_resolution(orig_w, orig_h, resolution, resolution_scale=1.0):
     return int(orig_w / scale), int(orig_h / scale)
 
 
-def _load_sidecars(source_path: str, frame_stem: str):
+def _sidecar_paths(source_path: str, frame_stem: str):
     lf = os.path.join(source_path, "language_features")
     seg = os.path.join(lf, frame_stem + "_s.npy")
     feat = os.path.join(lf, frame_stem + "_f.npy")
-    sam = np.load(seg) if os.path.exists(seg) else None
-    clip = np.load(feat) if os.path.exists(feat) else None
+    return (seg if os.path.exists(seg) else None,
+            feat if os.path.exists(feat) else None)
+
+
+def _load_sidecars(source_path: str, frame_stem: str):
+    seg, feat = _sidecar_paths(source_path, frame_stem)
+    sam = np.load(seg) if seg else None
+    clip = np.load(feat) if feat else None
     return sam, clip
 
 
@@ -93,6 +99,74 @@ def _find_image(path: str) -> str | None:
     base, ext = os.path.splitext(path)
     alt = base + (".png" if ext.lower() == ".jpg" else ".jpg")
     return alt if os.path.exists(alt) else None
+
+
+def _decode_pixels(ipath: str, w: int, h: int, blender_bg: int | None):
+    """Decode + resize one image exactly like the eager path: optional
+    Blender RGBA-over-bg compositing at ORIGINAL resolution
+    (reference scene/dataset_readers.py:271-279), then the RGBA convert +
+    LANCZOS resize of _build_view. -> (gt [h,w,3] f32, alpha [h,w] f32)."""
+    img = Image.open(ipath)
+    if blender_bg is not None and img.mode == "RGBA":
+        a = np.asarray(img, np.float32) / 255.0
+        rgb = a[..., :3] * a[..., 3:] + (blender_bg / 255.0) * (1 - a[..., 3:])
+        img = Image.fromarray((rgb * 255).astype(np.uint8), "RGB")
+    rgba = img.convert("RGBA").resize((w, h), Image.Resampling.LANCZOS)
+    arr = np.asarray(rgba, np.float32) / 255.0
+    return arr[..., :3], arr[..., 3]
+
+
+def _build_view_lazy(
+    R_w2c, t_w2c, fovx, fovy, ipath: str, image_name, sam_path, clip_path,
+    resolution: int, K=None, blender_bg: int | None = None,
+) -> View:
+    """Lazy twin of _build_view (data/lazy.py): resolution policy and camera
+    come from file HEADERS; pixels and SAM sidecars decode on access. The
+    one unavoidable decode at build time: images whose header carries an
+    alpha channel are decoded once (not retained) to apply the eager path's
+    `any(alpha < 1)` has-alpha rule bit-for-bit."""
+    from opengaussian_tpu.data.lazy import LazyArray
+
+    img = Image.open(ipath)  # PIL reads the header only
+    orig_w, orig_h = img.size
+    has_alpha_channel = img.mode in ("RGBA", "LA", "PA") and blender_bg is None
+    img.close()
+    w, h = _choose_resolution(orig_w, orig_h, resolution)
+    sam_lazy = None
+    if sam_path is not None:
+        z = np.load(sam_path, mmap_mode="r")
+        step = int(max(resolution, 1))
+        sam_shape = z.shape[:1] + z[:, ::step, ::step].shape[1:]
+        if h != sam_shape[1]:
+            w, h = sam_shape[2], sam_shape[1]
+        sam_lazy = LazyArray(
+            lambda p=sam_path, s=step: np.load(p)[:, ::s, ::s],
+            sam_shape, z.dtype,
+        )
+        del z
+    gt_alpha = None
+    if has_alpha_channel:
+        # decode once, keep only the boolean verdict
+        _, alpha = _decode_pixels(ipath, w, h, blender_bg)
+        if (alpha < 1.0).any():
+            gt_alpha = LazyArray(
+                lambda p=ipath, W=w, H=h, bg=blender_bg:
+                    _decode_pixels(p, W, H, bg)[1],
+                (h, w), np.float32,
+            )
+    return View(
+        camera=Camera.from_fov(R_w2c, t_w2c, fovx, fovy, w, h),
+        image_name=image_name,
+        gt_image=LazyArray(
+            lambda p=ipath, W=w, H=h, bg=blender_bg:
+                _decode_pixels(p, W, H, bg)[0],
+            (h, w, 3), np.float32,
+        ),
+        gt_alpha_mask=gt_alpha,
+        sam_mask=sam_lazy,
+        clip_feats=np.load(clip_path) if clip_path else None,  # small table
+        K=K,
+    )
 
 
 def _build_view(
@@ -126,7 +200,8 @@ def _build_view(
 
 
 def read_colmap_scene(path: str, images: str = "images", eval_split: bool = False,
-                      resolution: int = -1, llffhold: int = 8) -> Scene:
+                      resolution: int = -1, llffhold: int = 8,
+                      lazy: bool = False) -> Scene:
     sp = os.path.join(path, "sparse/0")
     try:
         cams = colmap.read_cameras_binary(os.path.join(sp, "cameras.bin"))
@@ -155,11 +230,16 @@ def read_colmap_scene(path: str, images: str = "images", eval_split: bool = Fals
         if ipath is None:
             continue
         stem = os.path.splitext(os.path.basename(im.name))[0]
-        sam, clip = _load_sidecars(path, stem)
-        img = Image.open(ipath)
-        views.append(
-            _build_view(R, t, fovx, fovy, img, stem, sam, clip, resolution)
-        )
+        if lazy:
+            seg, feat = _sidecar_paths(path, stem)
+            views.append(_build_view_lazy(
+                R, t, fovx, fovy, ipath, stem, seg, feat, resolution))
+        else:
+            sam, clip = _load_sidecars(path, stem)
+            img = Image.open(ipath)
+            views.append(
+                _build_view(R, t, fovx, fovy, img, stem, sam, clip, resolution)
+            )
         w2c_list.append((R, t))
     views.sort(key=lambda v: v.image_name)
 
@@ -185,7 +265,8 @@ def read_colmap_scene(path: str, images: str = "images", eval_split: bool = Fals
 
 def read_blender_scene(path: str, white_background: bool = False,
                        eval_split: bool = False, resolution: int = -1,
-                       extension: str = ".png", rng_seed: int = 0) -> Scene:
+                       extension: str = ".png", rng_seed: int = 0,
+                       lazy: bool = False) -> Scene:
     """transforms_train/test.json reader, including the ScanNet flavor with
     per-frame K (reference readCamerasFromTransforms,
     scene/dataset_readers.py:219-322)."""
@@ -204,6 +285,27 @@ def read_blender_scene(path: str, white_background: bool = False,
             if ipath is None:
                 continue
             img = Image.open(ipath)
+            if lazy:
+                w, h = img.size
+                img.close()
+                K = None
+                if "K" in frame:
+                    K = np.array(frame["K"], np.float64)
+                    fovx = focal2fov(K[0][0], w)
+                    fovy = focal2fov(K[0][0], h)
+                elif fovx_global is not None:
+                    fovx = fovx_global
+                    fovy = focal2fov(fov2focal(fovx, w), h)
+                else:
+                    fl = contents.get("fl_x", frame.get("fl_x"))
+                    fovx = focal2fov(fl, w)
+                    fovy = focal2fov(fl, h)
+                stem = Path(frame["file_path"]).name
+                seg, feat = _sidecar_paths(path, stem)
+                views.append(_build_view_lazy(
+                    R, t, fovx, fovy, ipath, stem, seg, feat, resolution,
+                    K=K, blender_bg=(255 if white_background else 0)))
+                continue
             # composite on bg if RGBA (reference :271-279)
             if img.mode == "RGBA":
                 bg = 255 if white_background else 0
@@ -252,10 +354,18 @@ def read_blender_scene(path: str, white_background: bool = False,
 
 
 def load_scene(path: str, images: str = "images", white_background: bool = False,
-               eval_split: bool = False, resolution: int = -1) -> Scene:
-    """Source-type sniffing (reference scene/__init__.py:43-49)."""
+               eval_split: bool = False, resolution: int = -1,
+               lazy: bool = False) -> Scene:
+    """Source-type sniffing (reference scene/__init__.py:43-49).
+
+    lazy=True: views carry data/lazy.LazyArray fields that decode pixels and
+    SAM sidecars from disk ON ACCESS, so host RSS holds one view instead of
+    all V (SURVEY §7.2 M6). Pair with save_memory=True — the trainer streams
+    a one-view window per step either way."""
     if os.path.exists(os.path.join(path, "sparse")):
-        return read_colmap_scene(path, images, eval_split, resolution)
+        return read_colmap_scene(path, images, eval_split, resolution,
+                                 lazy=lazy)
     if os.path.exists(os.path.join(path, "transforms_train.json")):
-        return read_blender_scene(path, white_background, eval_split, resolution)
+        return read_blender_scene(path, white_background, eval_split,
+                                  resolution, lazy=lazy)
     raise ValueError(f"Could not recognize scene type for {path}")

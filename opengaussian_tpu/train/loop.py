@@ -85,20 +85,64 @@ def bundle_views(views: list[View], sam_level: int,
     the trainer streams ONE view's window to the device per step (the
     TPU-shaped equivalent of the reference's --save_memory to_gpu/to_cpu
     shuffling, reference scene/cameras.py:94-107, train.py:633-635)."""
+    from opengaussian_tpu.data.lazy import LazyStack, is_lazy
+
     assert views, "no views"
     h, w = views[0].gt_image.shape[:2]
     for v in views:
         assert v.gt_image.shape[:2] == (h, w), "views must share a resolution"
+    lazy = any(is_lazy(v.gt_image) for v in views)
     ids = []
     max_masks = 8
     for v in views:
         if v.sam_mask is not None:
+            # lazy views decode here once (streaming — not retained)
             m = masku.decode_sam_level(np.asarray(v.sam_mask), sam_level)
             max_masks = max(max_masks, int(m.max()))
-            ids.append(m.astype(np.int32))
-        else:
+            if not lazy:
+                ids.append(m.astype(np.int32))
+        elif not lazy:
             ids.append(np.zeros((h, w), np.int32))
     max_masks = int(np.ceil(max_masks / 8) * 8)
+    if lazy:
+        # host RSS holds ONE view: the per-view stacks stay lazy; the
+        # trainer's save_memory window (bundle_window) decodes one view per
+        # step. Stage boundaries that np.asarray a full stack (pseudo
+        # sweeps, the SAM refiner) still work via LazyStack.__array__ at a
+        # transient spike.
+        assert not device, "lazy scenes require save_memory (host bundles)"
+
+        def _ids_loader(v):
+            if v.sam_mask is None:
+                return np.zeros((h, w), np.int32)
+            return masku.decode_sam_level(
+                np.asarray(v.sam_mask), sam_level).astype(np.int32)
+
+        def _alpha_loader(v):
+            if v.gt_alpha_mask is None:
+                return np.ones((h, w), np.float32)
+            return np.asarray(v.gt_alpha_mask, np.float32)
+
+        return ViewBundle(
+            R=np.stack([np.asarray(v.camera.R_w2c) for v in views]),
+            t=np.stack([np.asarray(v.camera.t_w2c) for v in views]),
+            fx=np.asarray([v.camera.fx for v in views], np.float32),
+            fy=np.asarray([v.camera.fy for v in views], np.float32),
+            cx=np.asarray([v.camera.cx for v in views], np.float32),
+            cy=np.asarray([v.camera.cy for v in views], np.float32),
+            gt_images=LazyStack(
+                [lambda v=v: np.asarray(v.gt_image, np.float32)
+                 for v in views], (h, w, 3), np.float32),
+            alpha_masks=LazyStack(
+                [lambda v=v: _alpha_loader(v) for v in views],
+                (h, w), np.float32),
+            has_alpha=np.asarray(
+                [v.gt_alpha_mask is not None for v in views]),
+            sam_ids=LazyStack(
+                [lambda v=v: _ids_loader(v) for v in views],
+                (h, w), np.int32),
+            width=w, height=h, max_masks=max_masks,
+        )
     conv = jnp.asarray if device else np.asarray
     return ViewBundle(
         R=conv(np.stack([np.asarray(v.camera.R_w2c) for v in views])),
