@@ -278,10 +278,11 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
                   and config.pallas_input == "stream")
     carry = None
     if use_stream and payload is not None:
-        # the blend rows ride the binning sort (sorted-index pack gather +
-        # sort values) — a post-sort random row gather costs ~10 ms at 850k
-        # slots on v5e. stop_gradient: the custom VJP computes these
-        # cotangents itself by per-splat reduction.
+        # the blend rows are delivered in sorted-slot order by ONE post-sort
+        # row gather from this [N, D] table (see bin_gaussians' `carry`
+        # docstring for the measured A/B vs riding the sort as operands).
+        # stop_gradient: the custom VJP computes these cotangents itself by
+        # per-splat reduction.
         opac_m = jnp.where(proj.valid, opacities, 0.0)
         carry = jax.lax.stop_gradient(jnp.concatenate(
             [proj.mean2d, proj.conic, opac_m[:, None], payload,

@@ -138,7 +138,7 @@ def main():
                 rows = pk[out[1]]  # [P, 19] random row gather
                 return jnp.sum(rows, axis=0), jnp.sum(out[0])
             if stage == "sort_postgather_n":
-                # sort (key, g); re-gather carry rows from the [N, 13] table
+                # sort (key, g); re-gather carry rows from the [N, 11] table
                 out = jax.lax.sort((key, g_safe.astype(jnp.int32)),
                                    num_keys=1, is_stable=False)
                 out = jax.lax.optimization_barrier(out)

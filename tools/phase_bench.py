@@ -5,9 +5,12 @@ trace_step fallback then only shows host threads), so this tool recovers a
 coarse phase split by TIMING PIPELINE PREFIXES with the exact bench.py
 methodology (jit, warmup, 20 timed iters, block_until_ready):
 
+    null        jitted no-op (per-call dispatch floor of the tunnel; the
+                `proj` row carries this fixed cost, the deltas cancel it)
     proj        projection only (cull, cov2d, radii)
     proj+bin    + stream binning (carry pack, sort, searchsorted)
-    fwd         + Pallas blend forward + image assembly + L1 loss
+    fwd(kernel) + Pallas blend forward, raw tile buffers (no untile/loss)
+    fwd         + image assembly (untile) + L1 loss
     fwd+bwd     + full backward (blend bwd kernel, reduction, projection VJP)
 
 Successive differences approximate per-phase device cost (XLA fuses slightly
@@ -104,6 +107,40 @@ def main():
         return tuple(outs)
 
     @jax.jit
+    def null_fn(i, gs):
+        return gs.logit_opacity[0] + i
+
+    @jax.jit
+    def fwd_kernel(i, gs):
+        # the color pass exactly as rasterize() runs it, stopped after the
+        # Pallas stream blend: raw [T, 256, C] tile accumulators, no untile,
+        # no loss — splits the fwd delta into kernel vs assembly+loss.
+        from opengaussian_tpu.ops.rasterize_pallas import (
+            blend_tiles_pallas_stream,
+        )
+        from opengaussian_tpu.ops.sh import sh_to_rgb
+
+        gs = perturb(gs, i)
+        payload = sh_to_rgb(3, gs.sh, gs.means, cam.cam_center)
+        proj, bins, pix, grids = _prepare(
+            cam, gs.means, build_cov3d(gs.scales, gs.quats), rcfg, None,
+            gs.opacity, payload=payload,
+        )
+        opac = jnp.where(proj.valid, gs.opacity, 0.0)
+        full_payload = jnp.concatenate(
+            [payload, proj.depth[:, None]], axis=-1)
+        n = proj.mean2d.shape[0]
+        n_band = bins.counts.shape[0]
+        max_chunks = rcfg.max_intersections(n) // rcfg.chunk + n_band
+        accum, t_final = blend_tiles_pallas_stream(
+            proj.mean2d, proj.conic, opac, full_payload, bins.sorted_carry,
+            bins.sorted_gauss, bins.tile_start, bins.counts,
+            jnp.asarray([0], jnp.int32), rcfg.chunk, grids[0], max_chunks,
+            rcfg.max_per_tile, rcfg.reduce_backend, rcfg.bwd_layout,
+        )
+        return jnp.sum(accum), jnp.sum(t_final)
+
+    @jax.jit
     def fwd(i, gs):
         out = render(cam, perturb(gs, i), bg, 3, rcfg)
         return losses.l1_loss(out.render, gt)
@@ -115,8 +152,10 @@ def main():
         return _fwd_bwd(perturb(gs, i))
 
     rows = [
+        ("null", timed(null_fn, state)),
         ("proj", timed(proj_only, state)),
         ("proj+bin", timed(proj_bin, state)),
+        ("fwd(kernel)", timed(fwd_kernel, state)),
         ("fwd(+loss)", timed(fwd, state)),
         ("fwd+bwd", timed(fwd_bwd, state)),
     ]
