@@ -94,8 +94,18 @@ def main(argv=None):
     scene = load_scene(args.source_path, eval_split=False, resolution=args.resolution)
     state, kms, it = load_model(args.model_path, args.iteration)
     lang = load_cluster_lang(args.model_path)
-    with open(args.text_features) as f:
-        tf = json.load(f)
+    if args.text_features.endswith(".zip"):
+        # the reference ships assets/text_features.zip (one
+        # text_features.json inside; render_lerf_by_text.py:69-72 unzips it
+        # at load) — accept it directly
+        import zipfile
+
+        with zipfile.ZipFile(args.text_features) as z:
+            name = next(n for n in z.namelist() if n.endswith(".json"))
+            tf = json.loads(z.read(name))
+    else:
+        with open(args.text_features) as f:
+            tf = json.load(f)
     texts = args.texts or SCENE_TEXTS.get(args.scene_name, list(tf))
     frames = args.frames or SCENE_EVAL_FRAMES.get(args.scene_name)
     k1 = kms.centers.shape[0]

@@ -87,10 +87,16 @@ def test_full_user_journey(tmp_path):
              occu_count=np.full(6, 10.0, np.float32),
              leaf_ind=lang["leaf_ind"])
 
-    # 3. text query -> selection renders on every frame
-    tf_path = str(tmp_path / "text_features.json")
-    with open(tf_path, "w") as f:
-        json.dump({"toy object": feat[target].tolist()}, f)
+    # 3. text query -> selection renders on every frame. Packed as a zip
+    # with one text_features.json inside — the reference's bundled
+    # assets/text_features.zip layout (render_lerf_by_text.py:69-72), which
+    # the CLI accepts as-is.
+    import zipfile
+
+    tf_path = str(tmp_path / "text_features.zip")
+    with zipfile.ZipFile(tf_path, "w") as z:
+        z.writestr("text_features.json",
+                   json.dumps({"toy object": feat[target].tolist()}))
     cli_text.main([
         "-m", out, "-s", root, "--scene_name", "toy",
         "--text_features", tf_path, "--texts", "toy object",
