@@ -22,5 +22,7 @@ echo "=== 3. phase trace (heavy, default path) ==="
 timeout 1200 python tools/trace_step.py --heavy
 echo "=== 4. bench (incl. its own guarded variant A/B) ==="
 timeout 3600 python bench.py
+echo "=== 5. quality-parity artifact (five-stage run -> QUALITY_r04.json) ==="
+timeout 3600 python tools/quality_run.py
 date -u
 echo "RUNBOOK DONE"

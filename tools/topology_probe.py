@@ -23,6 +23,10 @@ reduction region keeps its op_name="reduce_scatter" parameters as the
 tell. Probe --capacity to find the size where the rewrite stops.
 
 Run: python tools/topology_probe.py [--topology v5e:2x4] [--out FILE.json]
+     [--target stage0|refiner|sweep2]  (r4: the SAM refiner's depth-vote
+     pass and pseudo sweep 2 compile through the same real-TPU-backend
+     path, so the two subsystems VERDICT r3 flagged as scale risks have
+     schedule evidence too)
 """
 
 from __future__ import annotations
@@ -63,6 +67,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--topology", default="v5e:2x4")
     ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--target", default="stage0",
+                    choices=("stage0", "refiner", "sweep2"),
+                    help="which sharded computation to AOT-compile: the "
+                    "stage-0 train step, the SAM refiner's depth-vote pass "
+                    "(parallel/refine.py), or pseudo sweep 2 "
+                    "(parallel/sweeps.py)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--hlo-out", default=None, help="dump full HLO here")
     args = ap.parse_args()
@@ -117,9 +127,26 @@ def main():
         shape, dt, sharding=NamedSharding(mesh, P()))
     cam_s = jax.tree.map(lambda x: sds(x, False), cam)
 
-    lowered = jax.jit(steps.stage0).lower(
-        state_s, adam_s, stats_s, cam_s, rep((192, 256, 3), np.float32),
-        None, rep((), np.int32), rep((3,), np.float32))
+    if args.target == "stage0":
+        lowered = jax.jit(steps.stage0).lower(
+            state_s, adam_s, stats_s, cam_s, rep((192, 256, 3), np.float32),
+            None, rep((), np.int32), rep((3,), np.float32))
+    elif args.target == "refiner":
+        from opengaussian_tpu.parallel.refine import make_refiner_fns
+
+        rfns = make_refiner_fns(mesh, rcfg)
+        lowered = rfns.depth_votes.lower(
+            state_s, cam_s, rep((192, 256), np.int32), max_ids=8)
+    else:  # sweep2
+        from opengaussian_tpu.parallel.sweeps import make_sweep_fns
+
+        fns = make_sweep_fns(mesh, rcfg, 4, 3, 8)
+        cls_s = jax.ShapeDtypeStruct(
+            (cap,), np.int32,
+            sharding=NamedSharding(mesh, P("dev")))
+        lowered = fns.sweep2.lower(
+            state_s, cam_s, rep((192, 256, 6), np.float32),
+            rep((192, 256), np.int32), cls_s, rep((3,), np.float32))
     txt = lowered.compile().as_text()
     if args.hlo_out:
         open(args.hlo_out, "w").write(txt)
@@ -177,7 +204,7 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             json.dump(dict(topology=args.topology, capacity=cap,
-                           collectives=report,
+                           target=args.target, collectives=report,
                            total_bytes_per_step=total_bytes), f, indent=1)
         print(f"wrote {args.out}")
 
