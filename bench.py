@@ -98,7 +98,12 @@ def make_workload(scale: float = 0.088, backend: str | None = None):
     base_cfg = RasterizeConfig(max_per_tile=1024, chunk=64)
     if backend is not None:
         base_cfg = dataclasses.replace(base_cfg, backend=backend)
-    rcfg = budget.tuned_config(base_cfg, state, [cam])
+    # Tight-fit budgets (headroom=1.05): the bench scene is static, so the
+    # probe maximum is exact — padding beyond rounding is pure per-slot
+    # waste the 4090 anchor never pays (its CUDA rasterizer sizes the key
+    # buffer per frame). The trainer keeps the 1.3 evolving-scene default.
+    # The zero-drop assert below still gates the whole run.
+    rcfg = budget.tuned_config(base_cfg, state, [cam], headroom=1.05)
     bg = jnp.zeros(3)
     gt = jnp.asarray(rng.uniform(0, 1, (HEIGHT, WIDTH, 3)).astype(np.float32))
 

@@ -112,22 +112,33 @@ def _round_up(x: float, q: int) -> int:
 
 
 def tuned_config(base: RasterizeConfig, state, cameras,
-                 max_views: int = 4, mesh=None, axis: str = "dev") -> RasterizeConfig:
-    """Size the budgets to the observed scene with HEADROOM. The base config
-    caps the result while the headroomed need fits under it; when it does
-    not, the budgets grow PAST the base (finely rounded) rather than
+                 max_views: int = 4, mesh=None, axis: str = "dev",
+                 headroom: float = HEADROOM) -> RasterizeConfig:
+    """Size the budgets to the observed scene with `headroom`. The base
+    config caps the result while the headroomed need fits under it; when it
+    does not, the budgets grow PAST the base (finely rounded) rather than
     truncate — including the band where the base would have left less than
-    the full headroom margin."""
+    the full headroom margin.
+
+    headroom defaults to HEADROOM (1.3): training scenes evolve between
+    probes (densification, opacity optimization), and a budget the scene
+    outgrows means a drop warning + re-tune recompile. For a STATIC scene
+    (inference, benchmarking) the probe maximum over the rendered views is
+    exact and a tight fit (e.g. 1.05) is the right call — the reference's
+    CUDA rasterizer sizes its key buffer per frame
+    (submodules/diff-gaussian-rasterization duplicateWithKeys) and pays
+    zero padding, so static-scene comparisons should too. Every per-slot
+    binning phase scales with the padded P, not the live total."""
     total, cnt = probe(state, cameras, max_views, mesh=mesh, axis=axis)
     n = state.capacity
     ceiling = base.max_intersections(n)
 
-    want_p = total * HEADROOM if total else float(ceiling)
+    want_p = total * headroom if total else float(ceiling)
     p = int(np.clip(_round_up(want_p, 65536), 2 * n, ceiling))
     if p < want_p:  # the base cap bites into the headroom margin -> grow
         p = _round_up(want_p, 8192)
 
-    want_k = cnt * HEADROOM if cnt else float(base.max_per_tile)
+    want_k = cnt * headroom if cnt else float(base.max_per_tile)
     k = int(np.clip(_round_up(want_k, base.chunk), 2 * base.chunk,
                     base.max_per_tile))
     if k < want_k:

@@ -40,6 +40,26 @@ def test_tuned_config_shrinks_and_stays_exact():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_tuned_config_tight_headroom_still_exact():
+    """headroom=1.05 (static-scene / bench fit) must produce budgets <= the
+    1.3 default while still rendering the probe view losslessly."""
+    st = small_scene()
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 0.9, 0.7, 160, 120)
+    base = RasterizeConfig(max_per_tile=512, chunk=32, min_intersections=4096)
+    loose = budget.tuned_config(base, st, [cam])
+    tight = budget.tuned_config(base, st, [cam], headroom=1.05)
+    assert tight.max_per_tile <= loose.max_per_tile
+    assert tight.max_intersections(st.capacity) <= loose.max_intersections(
+        st.capacity)
+    cov = build_cov3d(st.scales, st.quats)
+    pay = jnp.concatenate([st.sh_dc[:, 0], st.ins_feat[:, :0]], axis=-1)
+    full = rasterize(cam, st.means, cov, st.opacity, pay, jnp.zeros(3), base)
+    tun = rasterize(cam, st.means, cov, st.opacity, pay, jnp.zeros(3), tight)
+    assert int(tun.n_dropped) == 0 and int(tun.n_truncated) == 0
+    np.testing.assert_allclose(np.asarray(tun.image), np.asarray(full.image),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_stage1_reports_lost_and_trainer_reprobes(tmp_path, capsys):
     """A budget overflow during the FEATURE stages must be detected (VERDICT
     r2 item 6: n_lost was stage-0-only): shrink the budgets mid-stage-1 and
