@@ -111,6 +111,72 @@ def _round_up(x: float, q: int) -> int:
     return int(np.ceil(x / q) * q)
 
 
+@partial(jax.jit, static_argnames=("grid_x", "grid_y", "probe_p", "probe_k"))
+def _probe_groups_view(means, cov3d, opac_g, camera, grid_x: int, grid_y: int,
+                       probe_p: int, probe_k: int):
+    """Worst per-group (total, per-tile max) for one view: scan of per-group
+    binnings with that group's masked opacities — exactly what
+    rasterize_scan_groups executes, so the measurement is the real need."""
+
+    def body(carry, opac):
+        proj = project(means, cov3d, camera, opacities=opac)
+        bins = bin_gaussians(proj, grid_x, grid_y, probe_p, probe_k)
+        return carry, (bins.total, jnp.max(bins.counts))
+
+    _, (tot, cnt) = jax.lax.scan(body, None, opac_g)
+    return jnp.max(tot), jnp.max(cnt)
+
+
+def probe_groups(state, cameras, group_opac: jnp.ndarray, max_views: int = 4):
+    """-> (max per-group intersections, max per-group per-tile count) over
+    sampled views, for sizing the scan-mode group budgets. group_opac [G, N]:
+    per-group masked opacities (e.g. the per-root masks — leaves are subsets
+    of their root, so the root probe bounds every group-render call site).
+    Same self-escalating cap discipline as `probe`."""
+    cov3d = build_cov3d(state.scales, state.quats)
+    opac_g = jnp.where(state.alive[None, :], group_opac, 0.0)
+    n = state.capacity
+    probe_p = PROBE_MULTIPLE * n
+    worst_total, worst_cnt = 0, 0
+    step = max(1, len(cameras) // max_views)
+    for cam in cameras[::step][:max_views]:
+        gx = (cam.width + TILE - 1) // TILE
+        gy = (cam.height + TILE - 1) // TILE
+        probe_k = PROBE_K
+        while True:
+            total, cnt = _probe_groups_view(
+                state.means, cov3d, opac_g, cam, gx, gy, probe_p, probe_k)
+            if int(cnt) < probe_k or probe_k >= n:
+                break
+            probe_k *= 2
+        worst_total = max(worst_total, int(total))
+        worst_cnt = max(worst_cnt, int(cnt))
+    return worst_total, worst_cnt
+
+
+def tuned_group_config(base: RasterizeConfig, state, cameras,
+                       cluster_ids, num_groups: int, max_views: int = 4,
+                       headroom: float = HEADROOM) -> RasterizeConfig:
+    """Size the scan-mode per-group budgets (group_intersection_budget /
+    group_max_per_tile) from a per-root probe. cluster_ids [N]: the coarse
+    assignment; the probe masks each root's opacities exactly like
+    render_clusters does (keep = member & alive at full opacity — the
+    superset of every group-render call site: leaves subset roots, and the
+    better_vis scale filters only remove splats). Frame-level budgets are
+    left untouched; call on top of tuned_config's result."""
+    gids = jnp.arange(num_groups)
+    member = cluster_ids[None, :] == gids[:, None]  # [G, N]
+    opac_g = jnp.where(member, state.opacity[None, :], 0.0)
+    total, cnt = probe_groups(state, cameras, opac_g, max_views)
+
+    want_p = max(total * headroom, 1.0)
+    p = _round_up(want_p, 8192)
+    want_k = max(cnt * headroom, 2.0 * base.chunk)
+    k = _round_up(want_k, base.chunk)
+    return dataclasses.replace(
+        base, group_intersection_budget=p, group_max_per_tile=k)
+
+
 def tuned_config(base: RasterizeConfig, state, cameras,
                  max_views: int = 4, mesh=None, axis: str = "dev",
                  headroom: float = HEADROOM) -> RasterizeConfig:

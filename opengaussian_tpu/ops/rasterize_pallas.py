@@ -435,11 +435,27 @@ def blend_tiles_pallas_bwd(gdata, counts, accum, t_final, g_accum, g_t,
 # to LANES floats. The kernels only touch columns [0, 6+C).
 LANES = 128
 
+# Scoped-VMEM budget for the stream kernels' double-buffered [2, group, K,
+# LANES] scratch. The TPU scoped-vmem limit is 16 MB; at GROUP=4 the scratch
+# alone crosses it near K ~ 2000 (measured: stage-0 at 648x484 with a tuned
+# K=2368 OOMs compile — "scoped allocation 18.54M > 16.00M"). Deep per-tile
+# budgets therefore shrink the tile group instead of dying: fewer tiles per
+# grid step costs only the ~1.3 us fixed step overhead times more steps
+# (~1.6 ms worst case at 5k tiles), while K stays exact.
+SCRATCH_CAP_BYTES = 8 * 1024 * 1024
+
+
+def stream_group(K: int) -> int:
+    g = GROUP
+    while g > 1 and 2 * g * K * LANES * 4 > SCRATCH_CAP_BYTES:
+        g //= 2
+    return g
+
 
 def _stream_issue(stream_ref, tstart_ref, scratch, sems, step, buf, K,
-                  n_tiles):
-    for gi in range(GROUP):
-        t = step * GROUP + gi
+                  n_tiles, group):
+    for gi in range(group):
+        t = step * group + gi
         off = tstart_ref[jnp.minimum(t, n_tiles - 1)]
         pltpu.make_async_copy(
             stream_ref.at[pl.ds(off, K), :],
@@ -449,8 +465,8 @@ def _stream_issue(stream_ref, tstart_ref, scratch, sems, step, buf, K,
 
 
 def _stream_wait(stream_ref, tstart_ref, scratch, sems, step, buf, gi, K,
-                 n_tiles):
-    t = step * GROUP + gi
+                 n_tiles, group):
+    t = step * group + gi
     off = tstart_ref[jnp.minimum(t, n_tiles - 1)]
     pltpu.make_async_copy(
         stream_ref.at[pl.ds(off, K), :],
@@ -460,24 +476,26 @@ def _stream_wait(stream_ref, tstart_ref, scratch, sems, step, buf, gi, K,
 
 
 def _fwd_stream_kernel(counts_ref, tstart_ref, toff_ref, stream_ref, acc_out,
-                       t_out, scratch, sems, *, chunk, grid_x, C, K, n_tiles):
+                       t_out, scratch, sems, *, chunk, grid_x, C, K, n_tiles,
+                       group):
     s = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
     @pl.when(s == 0)
     def _():
-        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles)
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles,
+                      group)
 
     @pl.when(s + 1 < nsteps)
     def _():
         _stream_issue(stream_ref, tstart_ref, scratch, sems, s + 1,
-                      (s + 1) % 2, K, n_tiles)
+                      (s + 1) % 2, K, n_tiles, group)
 
     buf = s % 2
-    for gi in range(GROUP):  # static unroll over the tile group
+    for gi in range(group):  # static unroll over the tile group
         _stream_wait(stream_ref, tstart_ref, scratch, sems, s, buf, gi, K,
-                     n_tiles)
-        t = s * GROUP + gi
+                     n_tiles, group)
+        t = s * group + gi
         live = t < n_tiles
         cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
         nc = _nchunks(cnt, chunk)
@@ -519,21 +537,22 @@ def blend_stream_pallas_fwd(rows, counts, tstart, grid_x: int, chunk: int,
     C = n_fields - 7
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
+    grp = stream_group(K)
     kern = functools.partial(_fwd_stream_kernel, chunk=chunk, grid_x=grid_x,
-                             C=C, K=K, n_tiles=T)
+                             C=C, K=K, n_tiles=T, group=grp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=((T + GROUP - 1) // GROUP,),
+        grid=((T + grp - 1) // grp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((GROUP, C, NPIX), lambda t, c, ts, to: (t, 0, 0),
+            pl.BlockSpec((grp, C, NPIX), lambda t, c, ts, to: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, 1, NPIX), lambda t, c, ts, to: (t, 0, 0),
+            pl.BlockSpec((grp, 1, NPIX), lambda t, c, ts, to: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, K, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, grp, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, grp)),
         ],
     )
     acc, t_final = pl.pallas_call(
@@ -550,25 +569,26 @@ def blend_stream_pallas_fwd(rows, counts, tstart, grid_x: int, chunk: int,
 
 def _bwd_stream_kernel(counts_ref, tstart_ref, toff_ref, stream_ref, gacc_ref,
                        gt_ref, tfin_ref, gatot_ref, dslot_out, scratch, sems,
-                       *, chunk, grid_x, C, K, n_tiles):
+                       *, chunk, grid_x, C, K, n_tiles, group):
     s = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
     @pl.when(s == 0)
     def _():
-        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles)
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles,
+                      group)
 
     @pl.when(s + 1 < nsteps)
     def _():
         _stream_issue(stream_ref, tstart_ref, scratch, sems, s + 1,
-                      (s + 1) % 2, K, n_tiles)
+                      (s + 1) % 2, K, n_tiles, group)
 
     dslot_out[...] = jnp.zeros(dslot_out.shape, dslot_out.dtype)
     buf = s % 2
-    for gi in range(GROUP):
+    for gi in range(group):
         _stream_wait(stream_ref, tstart_ref, scratch, sems, s, buf, gi, K,
-                     n_tiles)
-        t = s * GROUP + gi
+                     n_tiles, group)
+        t = s * group + gi
         live = t < n_tiles
         cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
         nc = _nchunks(cnt, chunk)
@@ -617,25 +637,26 @@ def blend_stream_pallas_bwd(rows, counts, tstart, accum, t_final, g_accum,
     if tile_offset is None:
         tile_offset = jnp.zeros((1,), jnp.int32)
     ga_total = jnp.sum(g_accum * accum, axis=1)  # [T, NPIX]
+    grp = stream_group(K)
     kern = functools.partial(_bwd_stream_kernel, chunk=chunk, grid_x=grid_x,
-                             C=C, K=K, n_tiles=T)
+                             C=C, K=K, n_tiles=T, group=grp)
     bspec = lambda shape: pl.BlockSpec(shape, lambda t, c, ts, to: (t, 0, 0),
                                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=((T + GROUP - 1) // GROUP,),
+        grid=((T + grp - 1) // grp,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            bspec((GROUP, C, NPIX)),
-            bspec((GROUP, 1, NPIX)),
-            bspec((GROUP, 1, NPIX)),
-            bspec((GROUP, 1, NPIX)),
+            bspec((grp, C, NPIX)),
+            bspec((grp, 1, NPIX)),
+            bspec((grp, 1, NPIX)),
+            bspec((grp, 1, NPIX)),
         ],
-        out_specs=pl.BlockSpec((GROUP, K, F), lambda t, c, ts, to: (t, 0, 0),
+        out_specs=pl.BlockSpec((grp, K, F), lambda t, c, ts, to: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, K, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, grp, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, grp)),
         ],
     )
     return pl.pallas_call(
@@ -667,24 +688,25 @@ def blend_stream_pallas_bwd(rows, counts, tstart, accum, t_final, g_accum,
 def _bwd_stream_compact_kernel(counts_ref, tstart_ref, toff_ref, cstart_ref,
                                stream_ref, gacc_ref, gt_ref, tfin_ref,
                                gatot_ref, rows_out, scratch, sems, wscratch,
-                               wsems, *, chunk, grid_x, C, K, n_tiles):
+                               wsems, *, chunk, grid_x, C, K, n_tiles, group):
     s = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
     @pl.when(s == 0)
     def _():
-        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles)
+        _stream_issue(stream_ref, tstart_ref, scratch, sems, 0, 0, K, n_tiles,
+                      group)
 
     @pl.when(s + 1 < nsteps)
     def _():
         _stream_issue(stream_ref, tstart_ref, scratch, sems, s + 1,
-                      (s + 1) % 2, K, n_tiles)
+                      (s + 1) % 2, K, n_tiles, group)
 
     buf = s % 2
-    for gi in range(GROUP):
+    for gi in range(group):
         _stream_wait(stream_ref, tstart_ref, scratch, sems, s, buf, gi, K,
-                     n_tiles)
-        t = s * GROUP + gi
+                     n_tiles, group)
+        t = s * group + gi
         live = t < n_tiles
         cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
         nc = _nchunks(cnt, chunk)
@@ -781,24 +803,25 @@ def blend_stream_pallas_bwd_compact(rows, counts, tstart, accum, t_final,
     ga_total = jnp.sum(g_accum * accum, axis=1)  # [T, NPIX]
     nchunks = (counts + chunk - 1) // chunk
     cstart = (jnp.cumsum(nchunks) - nchunks).astype(jnp.int32)
+    grp = stream_group(K)
     kern = functools.partial(_bwd_stream_compact_kernel, chunk=chunk,
-                             grid_x=grid_x, C=C, K=K, n_tiles=T)
+                             grid_x=grid_x, C=C, K=K, n_tiles=T, group=grp)
     bspec = lambda shape: pl.BlockSpec(shape, lambda t, c, ts, to, cs: (t, 0, 0),
                                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=((T + GROUP - 1) // GROUP,),
+        grid=((T + grp - 1) // grp,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            bspec((GROUP, C, NPIX)),
-            bspec((GROUP, 1, NPIX)),
-            bspec((GROUP, 1, NPIX)),
-            bspec((GROUP, 1, NPIX)),
+            bspec((grp, C, NPIX)),
+            bspec((grp, 1, NPIX)),
+            bspec((grp, 1, NPIX)),
+            bspec((grp, 1, NPIX)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, K, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, grp, K, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, grp)),
             pltpu.VMEM((2, chunk, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -30,6 +30,7 @@ from opengaussian_tpu.ops.rasterize import (
     RasterizeConfig,
     rasterize,
     rasterize_groups,
+    rasterize_scan_groups,
 )
 from opengaussian_tpu.ops.sh import sh_to_rgb
 
@@ -212,7 +213,12 @@ def _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points):
     valid = counts >= min_points
 
     opac = jnp.where(keep, gs.opacity[None, :], 0.0)
-    r = rasterize_groups(camera, gs.means, cov3d, opac, payload, fbg, config)
+    # group_render="scan" (the default via "auto"): per-group re-binning on
+    # the stream path — see rasterize_scan_groups. "dense" keeps the shared-
+    # binning vmapped twin.
+    groups_fn = (rasterize_groups if config.group_render == "dense"
+                 else rasterize_scan_groups)
+    r = groups_fn(camera, gs.means, cov3d, opac, payload, fbg, config)
     occur = jnp.max(r.alpha, axis=(1, 2)) > OCCUR_SIL_THRESHOLD
     return RenderOutputs(
         cluster_imgs=r.image,

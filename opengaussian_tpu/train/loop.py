@@ -664,7 +664,36 @@ class Trainer:
                   f"max_per_tile {self.rcfg.max_per_tile}->{new.max_per_tile}",
                   flush=True)
             self.rcfg = new
+        # a frame re-tune rebuilt rcfg from the base config, dropping any
+        # group budgets — re-probe them if the coarse assignment exists
+        if self.iteration + 1 > self.cfg.opt.start_root_cb_iter:
+            self._tune_group_budgets()
         self._budgets_tuned = True
+
+    def _tune_group_budgets(self):
+        """Per-root budgets for the scan-mode group renders (stage 2.2,
+        pseudo sweep 2, the stage-3 lang sweep): probed at each stage-2
+        entry with the fresh coarse assignment, and re-probed with the frame
+        budgets on drop warnings. A single root holds ~1/k1 of the scene, so
+        these budgets are ~k1 x smaller than the frame's — every per-slot
+        phase of the per-group binning scales with them. No-ops under a mesh
+        (the sharded sweep twins blend per-group over the shared union
+        binning) and when group_render='dense'."""
+        if not self.autotune_budgets or self.mesh is not None:
+            return
+        if self.rcfg.group_render == "dense":
+            return
+        from opengaussian_tpu.ops import budget
+
+        cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
+        new = budget.tuned_group_config(
+            self.rcfg, self.state, cams, self.kms.cls_ids,
+            self.cfg.opt.root_node_num,
+        )
+        if new != self.rcfg:
+            print(f"[budget] group budgets P={new.group_intersection_budget} "
+                  f"K={new.group_max_per_tile}", flush=True)
+            self.rcfg = new
 
     def _maybe_grow(self):
         frac = int(self.state.num_alive) / self.state.capacity
@@ -757,6 +786,8 @@ class Trainer:
                     self.state.alive, o.pos_weight, self._next_key(),
                     init=(it == o.start_root_cb_iter + 1),
                 )
+                if it == o.start_root_cb_iter + 1:
+                    self._tune_group_budgets()  # first real assignment
         elif stage == "2.2":
             if it % 50 == 1 or it == o.start_leaf_cb_iter + 1:
                 self.kms = km.assign_leaf(
@@ -765,6 +796,8 @@ class Trainer:
                     k2=o.leaf_node_num,
                     init=(it == o.start_leaf_cb_iter + 1),
                 )
+                if it == o.start_leaf_cb_iter + 1:
+                    self._tune_group_budgets()  # stage-2.2 entry assignment
 
     def _has_pre_event(self, it: int, stage: str) -> bool:
         o = self.cfg.opt
@@ -892,6 +925,10 @@ class Trainer:
                     num_alive=int(self.state.num_alive),
                     elapsed=time.time() - t_start,
                 )
+                if stage == "2.2":
+                    # stage 2.2 trains ONE root per step (round-robin), so
+                    # the loss trajectory only reads per-root — tag the rec
+                    rec["root_id"] = int(self.root_id)
                 self.history.append(rec)
                 if self.tb is not None:
                     self.tb.add_scalar("train_loss_patches/total_loss",
