@@ -50,12 +50,21 @@ def bin_gaussians(
     proj: Projected, grid_x: int, grid_y: int, max_intersections: int,
     max_per_tile: int, tile_lo: int = 0, tile_hi: int | None = None,
     dense: bool = True, stream: bool = False,
-    carry: jnp.ndarray | None = None,
+    carry: jnp.ndarray | None = None, band_size: int | None = None,
 ) -> TileBins:
     """tile_lo/tile_hi restrict the per-tile outputs (gauss_idx, counts,
     tile_start) to the tile range [tile_lo, tile_hi) — used by banded
     rendering to bound the dense per-tile memory for very large images; the
     per-slot stream still covers the full frame.
+
+    band_size: the sharded-render form of the same restriction — tile_lo
+    may then be a TRACED offset (jax.lax.axis_index arithmetic) while the
+    band's extent stays static for shapes; tile_hi is derived. Callers pair
+    it with projection.clip_rect_rows so the per-slot stream too holds only
+    the band's rows. Padded tile ids beyond the real grid (the mesh rounds
+    T up to a device multiple) report count 0: the sort's invalid-slot
+    sentinel id equals the REAL tile count, which would otherwise land
+    inside the last device's band.
 
     dense=True scatters the sorted stream into the [T, K] gauss_idx matrix
     (XLA scan blend and vmapped group renders need it). stream=True returns
@@ -76,9 +85,13 @@ def bin_gaussians(
     measures ~7.5 ms cheaper in context AND shrinks the expansion pack
     gather/transpose from 19 to 8 columns."""
     num_tiles = grid_x * grid_y
-    if tile_hi is None:
-        tile_hi = num_tiles
-    band = tile_hi - tile_lo
+    if band_size is not None:
+        band = band_size
+        tile_hi = tile_lo + band_size
+    else:
+        if tile_hi is None:
+            tile_hi = num_tiles
+        band = tile_hi - tile_lo
     P = max_intersections
     K = max_per_tile
 
@@ -205,6 +218,9 @@ def bin_gaussians(
     edges = jnp.searchsorted(tile_s, band_ids, side="left")
     tstart = edges[:-1]
     full_counts = edges[1:] - tstart
+    # a band reaching past the real grid (mesh padding) must not pick up
+    # the invalid-slot sentinel run at id == num_tiles
+    full_counts = jnp.where(band_ids[:-1] < num_tiles, full_counts, 0)
     counts = jnp.minimum(full_counts, K)
 
     n_dropped = total - jnp.sum(slot_valid.astype(jnp.int32))

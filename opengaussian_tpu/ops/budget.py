@@ -39,12 +39,33 @@ PROBE_K = 2048  # starting per-tile cap; doubled on saturation
 HEADROOM = 1.3  # scenes evolve between probes (densification, optimization)
 
 
+def _band_totals(proj, row_lo, row_hi):
+    """Pre-cull expansion-slot need per tile-row band: sum over splats of
+    (rect width) x (rect rows inside [row_lo_i, row_hi_i)). This is what
+    sizes the BANDED per-device stream (parallel/render.py): culled slots
+    still occupy sorted positions, so the budget must cover rect areas, not
+    post-cull hit counts. row_lo/row_hi: [B] int32."""
+    ry_min = proj.rect_min[:, 1]
+    ry_max = proj.rect_max[:, 1]
+    w = proj.rect_max[:, 0] - proj.rect_min[:, 0]
+    ov = jnp.clip(
+        jnp.minimum(ry_max[None, :], row_hi[:, None])
+        - jnp.maximum(ry_min[None, :], row_lo[:, None]),
+        0, None,
+    )
+    return jnp.sum(
+        jnp.where(proj.num_tiles[None, :] > 0, ov * w[None, :], 0), axis=1
+    )  # [B]
+
+
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "probe_p", "probe_k"))
 def _probe_view(means, cov3d, opac, camera, grid_x: int, grid_y: int,
-                probe_p: int, probe_k: int):
+                probe_p: int, probe_k: int, band_lo=None, band_hi=None):
     proj = project(means, cov3d, camera, opacities=opac)
     bins = bin_gaussians(proj, grid_x, grid_y, probe_p, probe_k)
-    return bins.total, jnp.max(bins.counts)
+    bt = (_band_totals(proj, band_lo, band_hi) if band_lo is not None
+          else jnp.zeros((1,), jnp.int32))
+    return bins.total, jnp.max(bins.counts), jnp.max(bt)
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "probe_p", "probe_k",
@@ -58,31 +79,46 @@ def _probe_view_sharded(means, cov3d, opac, camera, grid_x: int, grid_y: int,
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def local(cam, m, c, o):
+    def local(cam, m, c, o, blo, bhi):
         proj = project(m, c, cam, opacities=o)
         bins = bin_gaussians(proj, grid_x, grid_y, probe_p, probe_k)
         total = jax.lax.psum(bins.total, axis)
         counts = jax.lax.psum(bins.counts, axis)
-        return total, jnp.max(counts)
+        # per-band pre-cull need over this device's splats, psummed: the
+        # banded render clips the GATHERED table, so the global per-band
+        # sum is the right measurement
+        bt = jax.lax.psum(_band_totals(proj, blo, bhi), axis)
+        return total, jnp.max(counts), jnp.max(bt)
 
+    nd = mesh.shape[axis]
+    T = grid_x * grid_y
+    tl = ((T + nd - 1) // nd * nd) // nd
+    lo = np.array([(i * tl) // grid_x for i in range(nd)], np.int32)
+    hi = np.array([((i + 1) * tl - 1) // grid_x + 1 for i in range(nd)],
+                  np.int32)
     pspec = P(axis)
     cam_spec = jax.tree.map(lambda _: P(), camera)
     return shard_map(
-        local, mesh=mesh, in_specs=(cam_spec, pspec, pspec, pspec),
-        out_specs=(P(), P()), check_vma=False,
-    )(camera, means, cov3d, opac)
+        local, mesh=mesh,
+        in_specs=(cam_spec, pspec, pspec, pspec, P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False,
+    )(camera, means, cov3d, opac, jnp.asarray(lo), jnp.asarray(hi))
 
 
-def probe(state, cameras, max_views: int = 4, mesh=None, axis: str = "dev"):
-    """-> (max total intersections, max per-tile count) over sampled views.
-    With a mesh, the probe runs Gaussian-sharded (no state gather). A view
-    whose per-tile count clamps at the probe cap re-probes with a doubled
-    cap, so the returned numbers are never self-truncated."""
+def probe(state, cameras, max_views: int = 4, mesh=None, axis: str = "dev",
+          band: bool = False):
+    """-> (max total intersections, max per-tile count) over sampled views;
+    with band=True also the worst per-device BAND need (pre-cull expansion
+    slots over any device's tile rows — sizes band_intersection_budget for
+    the banded sharded binning). With a mesh, the probe runs
+    Gaussian-sharded (no state gather). A view whose per-tile count clamps
+    at the probe cap re-probes with a doubled cap, so the returned numbers
+    are never self-truncated."""
     cov3d = build_cov3d(state.scales, state.quats)
     opac = jnp.where(state.alive, state.opacity, 0.0)
     n = state.capacity
     probe_p = PROBE_MULTIPLE * n
-    worst_total, worst_cnt = 0, 0
+    worst_total, worst_cnt, worst_band = 0, 0, 0
     step = max(1, len(cameras) // max_views)
     for cam in cameras[::step][:max_views]:
         gx = (cam.width + TILE - 1) // TILE
@@ -92,18 +128,21 @@ def probe(state, cameras, max_views: int = 4, mesh=None, axis: str = "dev"):
             if mesh is not None:
                 # the full pool per device: local duplication can exceed the
                 # even-shard average, and a dropped slot would undercount
-                total, cnt = _probe_view_sharded(
+                total, cnt, bt = _probe_view_sharded(
                     state.means, cov3d, opac, cam, gx, gy,
                     probe_p, probe_k, mesh, axis,
                 )
             else:
-                total, cnt = _probe_view(state.means, cov3d, opac, cam, gx,
-                                         gy, probe_p, probe_k)
+                total, cnt, bt = _probe_view(state.means, cov3d, opac, cam,
+                                             gx, gy, probe_p, probe_k)
             if int(cnt) < probe_k or probe_k >= n:
                 break
             probe_k *= 2  # saturated: the measurement was clamped
         worst_total = max(worst_total, int(total))
         worst_cnt = max(worst_cnt, int(cnt))
+        worst_band = max(worst_band, int(bt))
+    if band:
+        return worst_total, worst_cnt, worst_band
     return worst_total, worst_cnt
 
 
@@ -195,7 +234,12 @@ def tuned_config(base: RasterizeConfig, state, cameras,
     (submodules/diff-gaussian-rasterization duplicateWithKeys) and pays
     zero padding, so static-scene comparisons should too. Every per-slot
     binning phase scales with the padded P, not the live total."""
-    total, cnt = probe(state, cameras, max_views, mesh=mesh, axis=axis)
+    use_band = mesh is not None and mesh.shape[axis] > 1
+    if use_band:
+        total, cnt, band_need = probe(state, cameras, max_views, mesh=mesh,
+                                      axis=axis, band=True)
+    else:
+        total, cnt = probe(state, cameras, max_views, mesh=mesh, axis=axis)
     n = state.capacity
     ceiling = base.max_intersections(n)
 
@@ -209,4 +253,12 @@ def tuned_config(base: RasterizeConfig, state, cameras,
                     base.max_per_tile))
     if k < want_k:
         k = _round_up(want_k, base.chunk)
-    return dataclasses.replace(base, intersection_budget=p, max_per_tile=k)
+    band_p = 0
+    if use_band:
+        # banded sharded binning: each device's stream covers only its own
+        # tile rows; see parallel/render.py and the band_intersection_budget
+        # field. Capped below the frame budget (a one-row image degenerates
+        # to the frame need).
+        band_p = min(_round_up(max(band_need * headroom, 1.0), 8192), p)
+    return dataclasses.replace(base, intersection_budget=p, max_per_tile=k,
+                               band_intersection_budget=band_p)

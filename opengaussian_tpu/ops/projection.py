@@ -202,3 +202,38 @@ def project(
         num_tiles=num_tiles,
         valid=valid,
     )
+
+
+def clip_rect_rows(proj: Projected, row_lo, row_hi) -> Projected:
+    """Restrict a projected table's tile rects to grid rows [row_lo, row_hi).
+
+    Banded binning (parallel/render.py): each device clips the gathered
+    table to its own tile rows BEFORE expansion, so its sorted stream holds
+    only ~1/D of the frame's intersections and every per-slot binning phase
+    (expand, gathers, sort, searchsorted) scales with the device count —
+    the frame-replicated binning was the modeled scaling ceiling
+    (tools/scaling_model.py: 33% -> 90% predicted 8-chip efficiency).
+
+    Pixel-exact: slots outside the clipped rows belong to other devices'
+    tile bands; each surviving slot runs the same circle-tile cull. row_lo /
+    row_hi may be traced (they derive from jax.lax.axis_index). Splats whose
+    rect misses the band get num_tiles=0 and are never expanded; their rect
+    fields are left untouched (the expansion never reads them)."""
+    ry_min = jnp.maximum(proj.rect_min[:, 1], row_lo)
+    ry_max = jnp.minimum(proj.rect_max[:, 1], row_hi)
+    h = jnp.maximum(ry_max - ry_min, 0)
+    area = (proj.rect_max[:, 0] - proj.rect_min[:, 0]) * h
+    num_tiles = jnp.where(proj.valid, area, 0).astype(jnp.int32)
+    return Projected(
+        mean2d=proj.mean2d,
+        depth=proj.depth,
+        conic=proj.conic,
+        radius=proj.radius,
+        cull_radius=proj.cull_radius,
+        rect_min=jnp.stack(
+            [proj.rect_min[:, 0], jnp.minimum(ry_min, ry_max)], axis=-1
+        ),
+        rect_max=jnp.stack([proj.rect_max[:, 0], ry_max], axis=-1),
+        num_tiles=num_tiles,
+        valid=proj.valid,
+    )

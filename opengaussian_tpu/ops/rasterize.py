@@ -79,6 +79,15 @@ class RasterizeConfig:
     # through the dense [T, K, F] twin — every group pays a full union
     # walk); "auto" = scan
     group_render: str = "auto"
+    # per-device slot budget for BANDED sharded binning (parallel/render.py):
+    # each device clips the gathered table to its own tile rows
+    # (projection.clip_rect_rows) and expands/sorts only those slots, so
+    # every per-slot binning phase scales ~1/D instead of being replicated
+    # per device (the modeled scaling ceiling — tools/scaling_model.py).
+    # 0 = replicated binning (each device bins the full frame at the frame
+    # budget). Sized by ops/budget.tuned_config under a mesh from the
+    # probe's per-band row sums.
+    band_intersection_budget: int = 0
     # dedicated budgets for per-group binning under group_render="scan"
     # (0 = fall back to the main budgets). A single group holds ~N/G of the
     # scene, so its tight-fit budget is ~G x smaller than the frame budget —

@@ -88,6 +88,8 @@ def render_sharded(
 
     def local(cam: Camera, means, cov, opac, pay, tap, bg_):
         r = jax.lax.axis_index(axis)
+        tl = Tp // nd
+        t0 = r * tl
         proj = project(
             means, cov, cam, screen_tap=tap,
             opacities=opac if config.tight_radius else None,
@@ -95,7 +97,19 @@ def render_sharded(
         radii_local = proj.radius
         proj, pay_f, opac_f = _gather_proj(proj, pay, opac, axis)
         use_stream = config.use_pallas() and config.pallas_input == "stream"
-        P_budget = config.max_intersections(n_total)
+        use_band = config.band_intersection_budget > 0
+        if use_band:
+            # banded binning: clip the gathered table to this device's tile
+            # rows so expansion/sort/gathers cover ~1/D of the frame's slots
+            # (pixel-exact — see clip_rect_rows; the replicated full-frame
+            # binning was the modeled N-chip scaling ceiling)
+            from opengaussian_tpu.ops.projection import clip_rect_rows
+
+            proj = clip_rect_rows(proj, t0 // grid_x,
+                                  (t0 + tl - 1) // grid_x + 1)
+            P_budget = config.band_intersection_budget
+        else:
+            P_budget = config.max_intersections(n_total)
         opac_m = jnp.where(proj.valid, opac_f, 0.0)
         full_pay = jnp.concatenate([pay_f, proj.depth[:, None]], axis=-1)
         carry = None
@@ -105,13 +119,16 @@ def render_sharded(
             ))
         bins = bin_gaussians(
             proj, grid_x, grid_y, P_budget, config.max_per_tile,
+            tile_lo=t0 if use_band else 0,
+            band_size=tl if use_band else None,
             dense=not use_stream, stream=use_stream, carry=carry,
         )
-        tl = Tp // nd
-        t0 = r * tl
-        counts = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(bins.counts, (0, Tp - T)), t0, tl, axis=0
-        )
+        if use_band:
+            counts = bins.counts  # already this band's [tl] rows
+        else:
+            counts = jax.lax.dynamic_slice_in_dim(
+                jnp.pad(bins.counts, (0, Tp - T)), t0, tl, axis=0
+            )
         pix = jax.lax.dynamic_slice_in_dim(
             jnp.pad(_tile_pixels(grid_x, grid_y), ((0, Tp - T), (0, 0), (0, 0))),
             t0, tl, axis=0,
@@ -123,11 +140,12 @@ def render_sharded(
 
             # padded tail tiles point at the stream end: count 0, reads land
             # in the kernel's zero padding
-            tstart = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(bins.tile_start, (0, Tp - T),
-                        constant_values=P_budget),
-                t0, tl, axis=0,
-            )
+            tstart = bins.tile_start if use_band else \
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(bins.tile_start, (0, Tp - T),
+                            constant_values=P_budget),
+                    t0, tl, axis=0,
+                )
             max_chunks = P_budget // config.chunk + tl
             accum, t_final = blend_tiles_pallas_stream(
                 proj.mean2d, proj.conic, opac_m, full_pay, bins.sorted_carry,
@@ -136,28 +154,37 @@ def render_sharded(
                 grid_x, max_chunks, config.max_per_tile,
                 config.reduce_backend, config.bwd_layout,
             )
-        elif config.use_pallas():
-            from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
-
-            idx = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(bins.gauss_idx, ((0, Tp - T), (0, 0))), t0, tl, axis=0
-            )
-            max_chunks = P_budget // config.chunk + tl
-            accum, t_final = blend_tiles_pallas(
-                proj.mean2d, proj.conic, opac_m, full_pay, idx, counts,
-                t0[None].astype(jnp.int32), config.chunk, grid_x, max_chunks,
-            )
         else:
-            idx = jax.lax.dynamic_slice_in_dim(
-                jnp.pad(bins.gauss_idx, ((0, Tp - T), (0, 0))), t0, tl, axis=0
-            )
-            accum, t_final = _blend_tiles(
-                proj.mean2d, proj.conic, opac_m, full_pay, idx, counts, pix,
-                config.chunk,
-            )
+            if use_band:
+                idx = bins.gauss_idx  # already this band's [tl, K]
+            else:
+                idx = jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(bins.gauss_idx, ((0, Tp - T), (0, 0))), t0, tl,
+                    axis=0,
+                )
+            if config.use_pallas():
+                from opengaussian_tpu.ops.rasterize_pallas import (
+                    blend_tiles_pallas,
+                )
+
+                max_chunks = P_budget // config.chunk + tl
+                accum, t_final = blend_tiles_pallas(
+                    proj.mean2d, proj.conic, opac_m, full_pay, idx, counts,
+                    t0[None].astype(jnp.int32), config.chunk, grid_x,
+                    max_chunks,
+                )
+            else:
+                accum, t_final = _blend_tiles(
+                    proj.mean2d, proj.conic, opac_m, full_pay, idx, counts,
+                    pix, config.chunk,
+                )
         img = accum[:, :, :C] + t_final[..., None] * bg_[None, None, :]
         depth = accum[:, :, C]
-        n_lost = bins.n_dropped + bins.n_truncated  # identical on all devices
+        n_lost = bins.n_dropped + bins.n_truncated
+        if use_band:
+            # per-device band losses (each tile owned by one device)
+            n_lost = jax.lax.psum(n_lost, axis)
+        # else: identical on all devices
         return img, 1.0 - t_final, depth, radii_local, n_lost
 
     pspec = P(axis)

@@ -235,6 +235,8 @@ def refine_sam_masks(
     bg=None,
     trace=None,  # refine/introspect.RefinerTrace, or None
     sharded_fns=None,  # parallel/refine.make_refiner_fns(...) namespace
+    timings: dict | None = None,  # phase wall-s accumulator (device passes
+    # vs host graph-merge split; tools/refine_bench.py)
 ) -> np.ndarray:
     """-> refined [V, H, W] cross-view-consistent ids (-1 void, like the
     reference's final masks).
@@ -242,6 +244,14 @@ def refine_sam_masks(
     sharded_fns: under `Trainer(mesh=...)` the per-view device passes route
     through the mesh-sharded twins (parallel/refine.py) so `gs` can stay
     sharded over the mesh — the host graph-merge below is identical."""
+    import time as _time
+
+    def _mark(phase, t0):
+        if timings is not None:
+            timings[phase] = timings.get(phase, 0.0) + (_time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
     V = len(cameras)
     max_ids = int(sam_ids.max())
     if max_ids == 0:
@@ -272,6 +282,7 @@ def refine_sam_masks(
             trace.log_depth(v, np.asarray(depth), vis_all[-1])
     votes_all = np.stack(votes_all)  # [V, N, M]
     vis_all = np.stack(vis_all)  # [V, N]
+    _t = _mark("device_votes_s", _t)
 
     # stage 1: global id sync via anchor splats (host graph merge).
     # The per-anchor winners are precomputed in ONE vectorized argmax pass
@@ -312,6 +323,7 @@ def refine_sam_masks(
     n_gids = next_gid - 1
     if trace is not None:
         trace.log_stage1(anchors, win_lid, local2global, n_gids)
+    _t = _mark("host_stage1_merge_s", _t)
 
     # per-view dominant GLOBAL id per splat (footprint-weighted vote within
     # each view, reference get_most_common_id_in_mask_weighted:653-703, with
@@ -329,7 +341,9 @@ def refine_sam_masks(
         has = (gv[:, 1:].max(axis=1) > 0) & vis_all[v]
         dom[v] = np.where(has, gv[:, 1:].argmax(axis=1) + 1, 0)
 
+    _t = _mark("host_dominant_s", _t)
     splat_gid = majority_winner(dom)
+    _t = _mark("host_majority_s", _t)
 
     # stage 2: per-camera expansion + argmax. A splat contributes to camera v
     # only where its per-view dominant id equals its global winner
@@ -341,6 +355,7 @@ def refine_sam_masks(
         n_match = np.bincount(splat_gid[match_v],
                               minlength=n_gids + 1)[1:].astype(np.float32)
         synced_v = local2global[v][sam_ids[v]].astype(np.int32)
+        _t = _mark("host_expand_prep_s", _t)
         if sharded_fns is not None:
             weights = sharded_fns.pixel_weights(
                 gs, cameras[v], gid_j, jnp.asarray(match_v),
@@ -352,11 +367,13 @@ def refine_sam_masks(
                 jnp.asarray(synced_v), jnp.asarray(n_match), n_gids, config,
             )
         wnp = np.asarray(weights)
+        _t = _mark("device_expand_s", _t)
         best = wnp.argmax(axis=-1)
         wmax = wnp.max(axis=-1)
         refined[v] = np.where(wmax >= EXPANSION_THRESHOLD, best + 1, -1)
         if trace is not None:
             trace.log_stage2(v, dom[v], splat_gid, wnp)
+        _t = _mark("host_expand_argmax_s", _t)
     if trace is not None:
         trace.write(refined)
     return refined

@@ -68,11 +68,13 @@ def main():
     ap.add_argument("--topology", default="v5e:2x4")
     ap.add_argument("--capacity", type=int, default=1024)
     ap.add_argument("--target", default="stage0",
-                    choices=("stage0", "refiner", "sweep2"),
+                    choices=("stage0", "refiner", "sweep2", "stage22",
+                             "lang"),
                     help="which sharded computation to AOT-compile: the "
                     "stage-0 train step, the SAM refiner's depth-vote pass "
-                    "(parallel/refine.py), or pseudo sweep 2 "
-                    "(parallel/sweeps.py)")
+                    "(parallel/refine.py), pseudo sweep 2, the stage-2.2 "
+                    "leaf-codebook train step, or the stage-3 language "
+                    "sweep view (parallel/sweeps.py)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--hlo-out", default=None, help="dump full HLO here")
     args = ap.parse_args()
@@ -137,7 +139,7 @@ def main():
         rfns = make_refiner_fns(mesh, rcfg)
         lowered = rfns.depth_votes.lower(
             state_s, cam_s, rep((192, 256), np.int32), max_ids=8)
-    else:  # sweep2
+    elif args.target == "sweep2":
         from opengaussian_tpu.parallel.sweeps import make_sweep_fns
 
         fns = make_sweep_fns(mesh, rcfg, 4, 3, 8)
@@ -147,6 +149,33 @@ def main():
         lowered = fns.sweep2.lower(
             state_s, cam_s, rep((192, 256, 6), np.float32),
             rep((192, 256), np.int32), cls_s, rep((3,), np.float32))
+    elif args.target == "lang":
+        from opengaussian_tpu.parallel.sweeps import make_sweep_fns
+
+        fns = make_sweep_fns(mesh, rcfg, 4, 3, 8)
+        leaf_s = jax.ShapeDtypeStruct(
+            (cap,), np.int32, sharding=NamedSharding(mesh, P("dev")))
+        lowered = fns.lang_view.lower(
+            state_s, leaf_s, cam_s, rep((192, 256, 6), np.float32),
+            rep((192, 256), np.int32), rep((4,), bool),
+            rep((3,), np.float32))
+    else:  # stage22
+        from opengaussian_tpu.ops.kmeans import KMeansState
+
+        k1, k2 = 4, 3
+        shard1d = lambda: jax.ShapeDtypeStruct(
+            (cap,), np.int32, sharding=NamedSharding(mesh, P("dev")))
+        kms_s = KMeansState(
+            centers=rep((k1, 9), np.float32),
+            cls_ids=shard1d(),
+            leaf_centers=rep((k1 * k2 + 1, 6), np.float32),
+            leaf_cls_ids=shard1d(),
+            leaf_sub_num=rep((k1,), np.int32),
+        )
+        lowered = jax.jit(steps.stage22).lower(
+            state_s, adam_s, kms_s, cam_s, rep((192, 256, 6), np.float32),
+            rep((), np.int32), rep((), bool), None, rep((), np.int32),
+            rep((3,), np.float32), rep((), np.float32))
     txt = lowered.compile().as_text()
     if args.hlo_out:
         open(args.hlo_out, "w").write(txt)
