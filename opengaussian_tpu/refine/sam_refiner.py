@@ -328,18 +328,31 @@ def refine_sam_masks(
     # per-view dominant GLOBAL id per splat (footprint-weighted vote within
     # each view, reference get_most_common_id_in_mask_weighted:653-703, with
     # the local->global remap summing columns that the sync merged). The
-    # column accumulation is one np.add.at per view, not an M-iteration loop.
+    # reduction stays in LOCAL column space ([N, M] with M = ids per view)
+    # instead of scattering into [N, n_gids]: n_gids grows ~V*M across the
+    # scene, and the old per-view [N, n_gids] accumulator was ~0.7 GB/view
+    # at the 100k-splat/60-view north-star shape (tools/refine_bench.py) —
+    # the merge-summed columns (the only reason for global space) are
+    # grouped by np.add.reduceat over gid-sorted columns.
     n = gs.capacity
     dom = np.zeros((V, n), np.int32)  # 0 = no vote in this view
     for v in range(V):
         remap = local2global[v]  # [max_ids+1]
         cols = remap[1:]  # global id of local ids 1..M
-        keep = cols > 0
-        gv = np.zeros((n, n_gids + 1), np.float32)
-        if keep.any():
-            np.add.at(gv.T, cols[keep], votes_all[v][:, keep].T)
-        has = (gv[:, 1:].max(axis=1) > 0) & vis_all[v]
-        dom[v] = np.where(has, gv[:, 1:].argmax(axis=1) + 1, 0)
+        keep_idx = np.flatnonzero(cols > 0)
+        if len(keep_idx) == 0:
+            continue
+        order = keep_idx[np.argsort(cols[keep_idx], kind="stable")]
+        gids_sorted = cols[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], gids_sorted[1:] != gids_sorted[:-1]])
+        )
+        group_gid = gids_sorted[starts]  # [G_v] distinct global ids
+        vred = np.add.reduceat(votes_all[v][:, order], starts, axis=1)
+        has = (vred.max(axis=1) > 0) & vis_all[v]
+        # ties: argmax picks the first gid-sorted group — same smallest-id
+        # rule as the old global-space argmax
+        dom[v] = np.where(has, group_gid[vred.argmax(axis=1)], 0)
 
     _t = _mark("host_dominant_s", _t)
     splat_gid = majority_winner(dom)
