@@ -32,10 +32,14 @@ from opengaussian_tpu.ops.projection import TILE, Projected
 class TileBins(NamedTuple):
     gauss_idx: jnp.ndarray | None  # [T, K_max] int32 splat index per slot
     # (front-to-back; dense layout for the XLA scan blend / vmapped renders)
-    counts: jnp.ndarray  # [T] int32 valid entries per tile (<= K_max)
+    counts: jnp.ndarray  # [T] int32 valid entries per tile (<= K_max).
+    # Under tile WINDOWING (window_depth > 0) the tile axis of counts /
+    # tile_start is VIRTUAL: a real tile deeper than K_max occupies several
+    # consecutive virtual tiles of <= K_max slots each; vt_* map them back.
     total: jnp.ndarray  # [] int32 total intersections before budgeting
     n_dropped: jnp.ndarray  # [] int32 intersections lost to P_max
-    n_truncated: jnp.ndarray  # [] int32 intersections lost to K_max
+    n_truncated: jnp.ndarray  # [] int32 intersections lost to K_max (or,
+    # windowed, to the window_depth / window budget)
     max_intersections: int  # static P budget (drives the backward's
     # chunk-compaction size; see rasterize_pallas._pallas_bwd)
     tile_start: jnp.ndarray | None = None  # [T] int32 offset of each tile's
@@ -44,6 +48,13 @@ class TileBins(NamedTuple):
     # sorted slot ((tile, depth) order; tiles are contiguous runs)
     sorted_carry: jnp.ndarray | None = None  # [P, D] f32: the caller's
     # `carry` table rows in sorted-slot order (see below)
+    vt_real: jnp.ndarray | None = None  # [Tv] int32 REAL tile index (band-
+    # relative) of each virtual tile; feeds the kernels' pixel-coord table
+    vt_first: jnp.ndarray | None = None  # [band] int32 first virtual tile
+    # of each real tile
+    vt_n: jnp.ndarray | None = None  # [band] int32 window count per real
+    # tile (windows compose by (a,T)(a',T') = (a+T a', T T') — see
+    # rasterize._fold_windows)
 
 
 def bin_gaussians(
@@ -51,6 +62,7 @@ def bin_gaussians(
     max_per_tile: int, tile_lo: int = 0, tile_hi: int | None = None,
     dense: bool = True, stream: bool = False,
     carry: jnp.ndarray | None = None, band_size: int | None = None,
+    window_depth: int = 0, window_extra: int = 0,
 ) -> TileBins:
     """tile_lo/tile_hi restrict the per-tile outputs (gauss_idx, counts,
     tile_start) to the tile range [tile_lo, tile_hi) — used by banded
@@ -65,6 +77,20 @@ def bin_gaussians(
     T up to a device multiple) report count 0: the sort's invalid-slot
     sentinel id equals the REAL tile count, which would otherwise land
     inside the last device's band.
+
+    window_depth (stream layout only): S > 0 splits any tile deeper than K
+    into up to S consecutive VIRTUAL tiles of <= K slots each (counts /
+    tile_start become virtual; vt_real / vt_first / vt_n map back), so K
+    can stay at a shallow compile-friendly window while arbitrarily deep
+    tiles blend exactly — the composite is folded outside the kernel
+    (rasterize._fold_windows). Deep per-tile budgets measured a compile
+    cliff on v5e (K=1472 takes >6x the K=576 Mosaic compile and trips the
+    scoped-VMEM limit at K~2000), and every tile's stream DMA moves a full
+    K-row window regardless of its live count, so shallow K is also less
+    DMA. Slots beyond S*K per tile, or windows beyond the Tv = band +
+    window_extra budget (window_extra=0 means the hard bound P//K, which
+    can never overflow), are counted in n_truncated exactly like the old
+    K-truncation.
 
     dense=True scatters the sorted stream into the [T, K] gauss_idx matrix
     (XLA scan blend and vmapped group renders need it). stream=True returns
@@ -226,6 +252,32 @@ def bin_gaussians(
     n_dropped = total - jnp.sum(slot_valid.astype(jnp.int32))
     n_truncated = jnp.sum(full_counts - counts)
 
+    vt_real = vt_first = vt_n = None
+    if window_depth > 0 and stream:
+        S = window_depth
+        nwin = jnp.clip((full_counts + K - 1) // K, 1, S)
+        covered = jnp.minimum(full_counts, nwin * K)
+        extra = window_extra if window_extra else max(P // K, 1)
+        Tv = band + extra
+        vt_first = jnp.cumsum(nwin) - nwin  # [band]
+        total_w = vt_first[-1] + nwin[-1]
+        # same scatter+cummax expansion as the splat->slot expansion above
+        tmark = jnp.where(vt_first < Tv,
+                          jnp.arange(band, dtype=jnp.int32) + 1, 0)
+        seg_v = jnp.zeros((Tv,), jnp.int32).at[
+            jnp.minimum(vt_first, Tv - 1)].max(tmark)
+        vt_real = jnp.maximum(jax.lax.cummax(seg_v) - 1, 0)  # [Tv]
+        vslot = jnp.arange(Tv, dtype=jnp.int32)
+        w = vslot - vt_first[vt_real]
+        live_v = (vslot < total_w) & (w < nwin[vt_real]) & (w >= 0)
+        counts = jnp.where(
+            live_v, jnp.clip(full_counts[vt_real] - w * K, 0, K), 0)
+        tstart = jnp.where(live_v, tstart[vt_real] + w * K, P)
+        # truncation: slots beyond S windows per tile + windows beyond Tv
+        n_truncated = (jnp.sum(full_counts - covered)
+                       + (jnp.sum(covered) - jnp.sum(counts)))
+        vt_n = nwin
+
     gauss_idx = None
     if dense:
         # dense [T, K] splat-index matrix by SCATTER from the sorted stream
@@ -255,10 +307,15 @@ def bin_gaussians(
     # backward reduction; without a barrier XLA rematerializes the whole
     # chain in the backward pass (measured ~40 ms/step of pure waste).
     has_carry = stream and carry is not None
+    has_win = vt_real is not None
     pin = [counts] + ([gauss_idx] if dense else []) \
         + ([g_sorted, tstart] if stream else []) \
-        + ([sorted_carry] if has_carry else [])
-    pin = jax.lax.optimization_barrier(tuple(pin))
+        + ([sorted_carry] if has_carry else []) \
+        + ([vt_real, vt_first, vt_n] if has_win else [])
+    pin = list(jax.lax.optimization_barrier(tuple(pin)))
+    if has_win:
+        vt_real, vt_first, vt_n = pin[-3], pin[-2], pin[-1]
+        pin = pin[:-3]
     counts = pin[0]
     if dense:
         gauss_idx = pin[1]
@@ -277,4 +334,7 @@ def bin_gaussians(
         tile_start=tstart if stream else None,
         sorted_gauss=g_sorted if stream else None,
         sorted_carry=sorted_carry if (stream and carry is not None) else None,
+        vt_real=vt_real,
+        vt_first=vt_first,
+        vt_n=vt_n,
     )

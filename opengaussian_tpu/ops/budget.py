@@ -37,6 +37,11 @@ from opengaussian_tpu.ops.rasterize import RasterizeConfig
 PROBE_MULTIPLE = 10  # generous pool so the probe itself never saturates
 PROBE_K = 2048  # starting per-tile cap; doubled on saturation
 HEADROOM = 1.3  # scenes evolve between probes (densification, optimization)
+WINDOW_K = 768  # stream per-tile window cap: beyond this the tuner keeps K
+# shallow and splits deep tiles into virtual windows (tile_windows) — see
+# tuned_config and ops/binning's window_depth. 768 (12 chunks) is inside
+# the chip-validated budget range (r1-heavy ran ~832); the measured Mosaic
+# compile cliff and the scoped-VMEM scratch limit both sit beyond ~1024.
 
 
 def _band_totals(proj, row_lo, row_hi):
@@ -253,6 +258,17 @@ def tuned_config(base: RasterizeConfig, state, cameras,
                     base.max_per_tile))
     if k < want_k:
         k = _round_up(want_k, base.chunk)
+    windows = base.tile_windows
+    if (base.use_pallas() and base.pallas_input == "stream"
+            and k > WINDOW_K):
+        # deep tiles become stream WINDOWS instead of a deep per-tile
+        # budget: Mosaic compile time cliffs beyond K~1024 (measured >6x at
+        # K=1472 on v5e) and every tile's stream DMA moves a full K-row
+        # window, so K stays at the shallow cap and tiles up to S*K deep
+        # split into virtual tiles (binning window_depth; exact fold in
+        # rasterize._fold_windows)
+        windows = int(np.ceil(want_k / WINDOW_K))
+        k = WINDOW_K
     band_p = 0
     if use_band:
         # banded sharded binning: each device's stream covers only its own
@@ -261,4 +277,5 @@ def tuned_config(base: RasterizeConfig, state, cameras,
         # to the frame need).
         band_p = min(_round_up(max(band_need * headroom, 1.0), 8192), p)
     return dataclasses.replace(base, intersection_budget=p, max_per_tile=k,
-                               band_intersection_budget=band_p)
+                               band_intersection_budget=band_p,
+                               tile_windows=windows)

@@ -79,6 +79,24 @@ class RasterizeConfig:
     # through the dense [T, K, F] twin — every group pays a full union
     # walk); "auto" = scan
     group_render: str = "auto"
+    # tile WINDOWING (stream layout): S > 0 lets a tile hold up to
+    # S * max_per_tile slots by splitting it into consecutive virtual tiles
+    # of <= max_per_tile each (binning vt_* fields; composited by
+    # rasterize._fold_windows). Keeps max_per_tile at a shallow
+    # compile-friendly window on deep scenes — Mosaic compile time cliffs
+    # beyond K~1024 and the per-tile stream DMA always moves K rows. Sized
+    # by ops/budget.tuned_config (WINDOW_K cap). Numerics: the T < 1e-4
+    # early-termination rule applies to each window's LOCAL transmittance,
+    # so slots the reference rule would drop after a global crossing still
+    # composite within later windows — the result lies between the
+    # reference-cutoff blend and the exact uncut blend, differing from
+    # either by at most the leftover T_EPS = 1e-4 per pixel (the cutoff is
+    # an optimization, not a semantic; tests/test_windows.py pins the
+    # bound).
+    tile_windows: int = 0
+    # virtual-tile budget: total extra windows across the frame
+    # (0 = the hard bound P // max_per_tile, which can never overflow)
+    window_extra: int = 0
     # per-device slot budget for BANDED sharded binning (parallel/render.py):
     # each device clips the gathered table to its own tile rows
     # (projection.clip_rect_rows) and expands/sorts only those slots, so
@@ -333,6 +351,8 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
         dense=not use_stream,
         stream=use_stream,
         carry=carry,
+        window_depth=config.tile_windows if use_stream else 0,
+        window_extra=config.window_extra,
     )
     lo = tile_lo
     hi = grid_x * grid_y if tile_hi is None else tile_hi
@@ -344,6 +364,26 @@ def _untile(x, grid_x, grid_y, H, W):
     x = x.reshape(grid_y, grid_x, TILE, TILE, ch)
     x = x.transpose(0, 2, 1, 3, 4).reshape(grid_y * TILE, grid_x * TILE, ch)
     return x[:H, :W]
+
+
+def _fold_windows(accum, t_final, vt_first, vt_n, S: int):
+    """Composite each real tile's virtual-window sequence front-to-back:
+    (a, T) o (a', T') = (a + T a', T T'). accum [Tv, NPIX, C], t_final
+    [Tv, NPIX] from the kernels (each window blended from T=1) ->
+    ([band, NPIX, C], [band, NPIX]). Plain differentiable gathers — the
+    kernels' custom VJP receives per-WINDOW cotangents through autodiff of
+    this fold, so the backward needs no window awareness."""
+    Tv = accum.shape[0]
+    acc = accum[vt_first]
+    t = t_final[vt_first]
+    for s in range(1, S):
+        idx = jnp.minimum(vt_first + s, Tv - 1)
+        live = (s < vt_n)[:, None]
+        a2 = accum[idx]
+        t2 = t_final[idx]
+        acc = acc + jnp.where(live[..., None], t[..., None] * a2, 0.0)
+        t = jnp.where(live, t * t2, t)
+    return acc, t
 
 
 def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
@@ -358,8 +398,10 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
         )
 
         n = proj.mean2d.shape[0]
-        n_band = bins.counts.shape[0]
+        n_band = bins.counts.shape[0]  # virtual tiles under windowing
         max_chunks = config.max_intersections(n) // config.chunk + n_band
+        toff = (tile_lo + bins.vt_real if bins.vt_real is not None
+                else tile_lo + jnp.arange(n_band, dtype=jnp.int32))
         accum, t_final = blend_tiles_pallas_stream(
             proj.mean2d,
             proj.conic,
@@ -369,7 +411,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
             bins.sorted_gauss,
             bins.tile_start,
             bins.counts,
-            jnp.asarray([tile_lo], jnp.int32),
+            toff.astype(jnp.int32),
             config.chunk,
             grid_x,
             max_chunks,
@@ -377,6 +419,10 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
             config.reduce_backend,
             config.bwd_layout,
         )
+        if bins.vt_real is not None:
+            accum, t_final = _fold_windows(
+                accum, t_final, bins.vt_first, bins.vt_n, config.tile_windows
+            )
     elif config.use_pallas():
         from opengaussian_tpu.ops.rasterize_pallas import blend_tiles_pallas
 
@@ -408,7 +454,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
         )
     C = payload.shape[1]
     img_tiles = accum[:, :, :C] + t_final[..., None] * bg[None, None, :]
-    rows = bins.counts.shape[0] // grid_x  # tile rows in this band
+    rows = accum.shape[0] // grid_x  # tile rows in this band (post-fold)
     y0 = (tile_lo // grid_x) * TILE
     hband = min(rows * TILE, H - y0)
     image = _untile(img_tiles, grid_x, rows, hband, W)

@@ -499,7 +499,11 @@ def _fwd_stream_kernel(counts_ref, tstart_ref, toff_ref, stream_ref, acc_out,
         live = t < n_tiles
         cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
         nc = _nchunks(cnt, chunk)
-        px, py = _pixels(t + toff_ref[0], grid_x)
+        # toff_ref: [n_tiles] ABSOLUTE tile id per (virtual) tile — under
+        # tile windowing several consecutive kernel tiles map to one real
+        # image tile, so pixel coords come from the table, not from
+        # grid-index arithmetic
+        px, py = _pixels(toff_ref[jnp.minimum(t, n_tiles - 1)], grid_x)
 
         def cond(carry):
             c, _, _, done = carry
@@ -536,7 +540,7 @@ def blend_stream_pallas_fwd(rows, counts, tstart, grid_x: int, chunk: int,
     T = counts.shape[0]
     C = n_fields - 7
     if tile_offset is None:
-        tile_offset = jnp.zeros((1,), jnp.int32)
+        tile_offset = jnp.arange(T, dtype=jnp.int32)
     grp = stream_group(K)
     kern = functools.partial(_fwd_stream_kernel, chunk=chunk, grid_x=grid_x,
                              C=C, K=K, n_tiles=T, group=grp)
@@ -592,7 +596,11 @@ def _bwd_stream_kernel(counts_ref, tstart_ref, toff_ref, stream_ref, gacc_ref,
         live = t < n_tiles
         cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
         nc = _nchunks(cnt, chunk)
-        px, py = _pixels(t + toff_ref[0], grid_x)
+        # toff_ref: [n_tiles] ABSOLUTE tile id per (virtual) tile — under
+        # tile windowing several consecutive kernel tiles map to one real
+        # image tile, so pixel coords come from the table, not from
+        # grid-index arithmetic
+        px, py = _pixels(toff_ref[jnp.minimum(t, n_tiles - 1)], grid_x)
 
         gacc = gacc_ref[gi]  # [C, NPIX]
         g_t = gt_ref[gi, 0:1, :]
@@ -635,7 +643,7 @@ def blend_stream_pallas_bwd(rows, counts, tstart, accum, t_final, g_accum,
     F = n_fields
     C = F - 7
     if tile_offset is None:
-        tile_offset = jnp.zeros((1,), jnp.int32)
+        tile_offset = jnp.arange(T, dtype=jnp.int32)
     ga_total = jnp.sum(g_accum * accum, axis=1)  # [T, NPIX]
     grp = stream_group(K)
     kern = functools.partial(_bwd_stream_kernel, chunk=chunk, grid_x=grid_x,
@@ -711,7 +719,11 @@ def _bwd_stream_compact_kernel(counts_ref, tstart_ref, toff_ref, cstart_ref,
         cnt = jnp.where(live, counts_ref[jnp.minimum(t, n_tiles - 1)], 0)
         nc = _nchunks(cnt, chunk)
         row0 = cstart_ref[jnp.minimum(t, n_tiles - 1)] * chunk
-        px, py = _pixels(t + toff_ref[0], grid_x)
+        # toff_ref: [n_tiles] ABSOLUTE tile id per (virtual) tile — under
+        # tile windowing several consecutive kernel tiles map to one real
+        # image tile, so pixel coords come from the table, not from
+        # grid-index arithmetic
+        px, py = _pixels(toff_ref[jnp.minimum(t, n_tiles - 1)], grid_x)
 
         gacc = gacc_ref[gi]  # [C, NPIX]
         g_t = gt_ref[gi, 0:1, :]
@@ -799,7 +811,7 @@ def blend_stream_pallas_bwd_compact(rows, counts, tstart, accum, t_final,
     T = counts.shape[0]
     C = n_fields - 7
     if tile_offset is None:
-        tile_offset = jnp.zeros((1,), jnp.int32)
+        tile_offset = jnp.arange(T, dtype=jnp.int32)
     ga_total = jnp.sum(g_accum * accum, axis=1)  # [T, NPIX]
     nchunks = (counts + chunk - 1) // chunk
     cstart = (jnp.cumsum(nchunks) - nchunks).astype(jnp.int32)

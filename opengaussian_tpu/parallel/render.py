@@ -122,9 +122,12 @@ def render_sharded(
             tile_lo=t0 if use_band else 0,
             band_size=tl if use_band else None,
             dense=not use_stream, stream=use_stream, carry=carry,
+            window_depth=(config.tile_windows
+                          if use_stream and use_band else 0),
+            window_extra=config.window_extra,
         )
         if use_band:
-            counts = bins.counts  # already this band's [tl] rows
+            counts = bins.counts  # this band's rows ([tl], or virtual)
         else:
             counts = jax.lax.dynamic_slice_in_dim(
                 jnp.pad(bins.counts, (0, Tp - T)), t0, tl, axis=0
@@ -146,14 +149,24 @@ def render_sharded(
                             constant_values=P_budget),
                     t0, tl, axis=0,
                 )
-            max_chunks = P_budget // config.chunk + tl
+            n_vt = counts.shape[0]  # tl, or the virtual-tile count
+            toff = (t0 + bins.vt_real if bins.vt_real is not None
+                    else t0 + jnp.arange(n_vt, dtype=jnp.int32))
+            max_chunks = P_budget // config.chunk + n_vt
             accum, t_final = blend_tiles_pallas_stream(
                 proj.mean2d, proj.conic, opac_m, full_pay, bins.sorted_carry,
                 bins.sorted_gauss, tstart, counts,
-                t0[None].astype(jnp.int32), config.chunk,
+                toff.astype(jnp.int32), config.chunk,
                 grid_x, max_chunks, config.max_per_tile,
                 config.reduce_backend, config.bwd_layout,
             )
+            if bins.vt_real is not None:
+                from opengaussian_tpu.ops.rasterize import _fold_windows
+
+                accum, t_final = _fold_windows(
+                    accum, t_final, bins.vt_first, bins.vt_n,
+                    config.tile_windows,
+                )
         else:
             if use_band:
                 idx = bins.gauss_idx  # already this band's [tl, K]

@@ -135,7 +135,9 @@ def main():
         accum, t_final = blend_tiles_pallas_stream(
             proj.mean2d, proj.conic, opac, full_payload, bins.sorted_carry,
             bins.sorted_gauss, bins.tile_start, bins.counts,
-            jnp.asarray([0], jnp.int32), rcfg.chunk, grids[0], max_chunks,
+            (bins.vt_real if bins.vt_real is not None
+             else jnp.arange(n_band, dtype=jnp.int32)),
+            rcfg.chunk, grids[0], max_chunks,
             rcfg.max_per_tile, rcfg.reduce_backend, rcfg.bwd_layout,
         )
         return jnp.sum(accum), jnp.sum(t_final)

@@ -17,8 +17,10 @@ Phase scaling model (parallel/render.py design):
   projection              t/D   (device owns N/D splats)
   binning                 per --binning:
         replicated: t      (each device bins the FULL gathered table —
-                            the pre-band-cull design)
-        banded: t/D * (1+ovl) (band-clipped expansion: each device
+                            the pre-r5 design, kept for comparison)
+        banded: t/D * (1+ovl) (IMPLEMENTED, r5: band-clipped expansion —
+                            projection.clip_rect_rows +
+                            band_intersection_budget; each device
                             expands/sorts only slots in its own tile rows;
                             ovl = cross-band rect overlap fraction)
   fwd blend               t/D   (device blends its own tile rows)
