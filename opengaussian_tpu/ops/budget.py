@@ -63,6 +63,14 @@ def _band_totals(proj, row_lo, row_hi):
     )  # [B]
 
 
+def _window_extra(counts):
+    """Extra stream windows needed at the WINDOW_K cap: sum over tiles of
+    ceil(count / WINDOW_K) - 1. Sizes config.window_extra so the windowed
+    grid carries no unused tail (the default hard bound P // K costs one
+    empty ~1.3 us grid step per unused slot)."""
+    return jnp.sum(jnp.maximum((counts + WINDOW_K - 1) // WINDOW_K - 1, 0))
+
+
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "probe_p", "probe_k"))
 def _probe_view(means, cov3d, opac, camera, grid_x: int, grid_y: int,
                 probe_p: int, probe_k: int, band_lo=None, band_hi=None):
@@ -70,7 +78,8 @@ def _probe_view(means, cov3d, opac, camera, grid_x: int, grid_y: int,
     bins = bin_gaussians(proj, grid_x, grid_y, probe_p, probe_k)
     bt = (_band_totals(proj, band_lo, band_hi) if band_lo is not None
           else jnp.zeros((1,), jnp.int32))
-    return bins.total, jnp.max(bins.counts), jnp.max(bt)
+    return bins.total, jnp.max(bins.counts), jnp.max(bt), \
+        _window_extra(bins.counts)
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "probe_p", "probe_k",
@@ -93,7 +102,7 @@ def _probe_view_sharded(means, cov3d, opac, camera, grid_x: int, grid_y: int,
         # banded render clips the GATHERED table, so the global per-band
         # sum is the right measurement
         bt = jax.lax.psum(_band_totals(proj, blo, bhi), axis)
-        return total, jnp.max(counts), jnp.max(bt)
+        return total, jnp.max(counts), jnp.max(bt), _window_extra(counts)
 
     nd = mesh.shape[axis]
     T = grid_x * grid_y
@@ -106,7 +115,7 @@ def _probe_view_sharded(means, cov3d, opac, camera, grid_x: int, grid_y: int,
     return shard_map(
         local, mesh=mesh,
         in_specs=(cam_spec, pspec, pspec, pspec, P(), P()),
-        out_specs=(P(), P(), P()), check_vma=False,
+        out_specs=(P(), P(), P(), P()), check_vma=False,
     )(camera, means, cov3d, opac, jnp.asarray(lo), jnp.asarray(hi))
 
 
@@ -123,7 +132,7 @@ def probe(state, cameras, max_views: int = 4, mesh=None, axis: str = "dev",
     opac = jnp.where(state.alive, state.opacity, 0.0)
     n = state.capacity
     probe_p = PROBE_MULTIPLE * n
-    worst_total, worst_cnt, worst_band = 0, 0, 0
+    worst_total, worst_cnt, worst_band, worst_wx = 0, 0, 0, 0
     step = max(1, len(cameras) // max_views)
     for cam in cameras[::step][:max_views]:
         gx = (cam.width + TILE - 1) // TILE
@@ -133,19 +142,21 @@ def probe(state, cameras, max_views: int = 4, mesh=None, axis: str = "dev",
             if mesh is not None:
                 # the full pool per device: local duplication can exceed the
                 # even-shard average, and a dropped slot would undercount
-                total, cnt, bt = _probe_view_sharded(
+                total, cnt, bt, wx = _probe_view_sharded(
                     state.means, cov3d, opac, cam, gx, gy,
                     probe_p, probe_k, mesh, axis,
                 )
             else:
-                total, cnt, bt = _probe_view(state.means, cov3d, opac, cam,
-                                             gx, gy, probe_p, probe_k)
+                total, cnt, bt, wx = _probe_view(
+                    state.means, cov3d, opac, cam, gx, gy, probe_p, probe_k)
             if int(cnt) < probe_k or probe_k >= n:
                 break
             probe_k *= 2  # saturated: the measurement was clamped
         worst_total = max(worst_total, int(total))
         worst_cnt = max(worst_cnt, int(cnt))
         worst_band = max(worst_band, int(bt))
+        worst_wx = max(worst_wx, int(wx))
+    probe.last_window_extra = worst_wx  # picked up by tuned_config
     if band:
         return worst_total, worst_cnt, worst_band
     return worst_total, worst_cnt
@@ -259,16 +270,21 @@ def tuned_config(base: RasterizeConfig, state, cameras,
     if k < want_k:
         k = _round_up(want_k, base.chunk)
     windows = base.tile_windows
+    window_extra = base.window_extra
     if (base.use_pallas() and base.pallas_input == "stream"
             and k > WINDOW_K):
         # deep tiles become stream WINDOWS instead of a deep per-tile
         # budget: Mosaic compile time cliffs beyond K~1024 (measured >6x at
         # K=1472 on v5e) and every tile's stream DMA moves a full K-row
         # window, so K stays at the shallow cap and tiles up to S*K deep
-        # split into virtual tiles (binning window_depth; exact fold in
-        # rasterize._fold_windows)
+        # split into virtual tiles (binning window_depth; fold in
+        # rasterize._fold_windows). The probe's measured extra-window count
+        # (probe.last_window_extra side channel) sizes the virtual-tile
+        # budget so the grid carries no P//K hard-bound tail.
         windows = int(np.ceil(want_k / WINDOW_K))
         k = WINDOW_K
+        window_extra = int(_round_up(
+            max(getattr(probe, "last_window_extra", 0), 1) * headroom, 64))
     band_p = 0
     if use_band:
         # banded sharded binning: each device's stream covers only its own
@@ -278,4 +294,5 @@ def tuned_config(base: RasterizeConfig, state, cameras,
         band_p = min(_round_up(max(band_need * headroom, 1.0), 8192), p)
     return dataclasses.replace(base, intersection_budget=p, max_per_tile=k,
                                band_intersection_budget=band_p,
-                               tile_windows=windows)
+                               tile_windows=windows,
+                               window_extra=window_extra)
