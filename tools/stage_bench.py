@@ -262,14 +262,18 @@ def main():
               jnp.int32(3), jnp.asarray(True), rcfg, ocfg, donate2=True)
     state, adam = o[0], o[1]
 
-    # --- codebook updates ---
+    # --- codebook updates --- (arrays passed as ARGS, not closures: a
+    # closed-over jax.Array is baked as an mlir constant at trace time,
+    # which materializes it on host — and dies if the donation chain above
+    # freed that buffer)
     key = jax.random.PRNGKey(0)
-    ar = jax.jit(lambda s, k: km.assign_root(
-        s, state.ins_feat, state.means, state.alive, 0.3, k))
-    timed("assign_root_ms", ar, kms, key, iters=max(3, args.iters // 4))
-    al = jax.jit(lambda s, k: km.assign_leaf(
-        s, state.ins_feat, state.alive, jnp.int32(3), k, K2))
-    timed("assign_leaf_ms", al, kms, key, iters=max(3, args.iters // 4))
+    ar = jax.jit(lambda s, f, m, al_, k: km.assign_root(s, f, m, al_, 0.3, k))
+    timed("assign_root_ms", ar, kms, state.ins_feat, state.means,
+          state.alive, key, iters=max(3, args.iters // 4))
+    al = jax.jit(lambda s, f, al_, k: km.assign_leaf(
+        s, f, al_, jnp.int32(3), k, K2))
+    timed("assign_leaf_ms", al, kms, state.ins_feat, state.alive, key,
+          iters=max(3, args.iters // 4))
 
     # --- sweeps (per view) ---
     sam0 = bundle.sam_ids[0]
