@@ -63,12 +63,20 @@ def _band_totals(proj, row_lo, row_hi):
     )  # [B]
 
 
+WINDOW_K_CANDIDATES = (768, 512, 384, 256, 128)  # probed in one pass so
+# windowed_variant() can size shallower-K A/B configs without re-probing
+
+
 def _window_extra(counts):
-    """Extra stream windows needed at the WINDOW_K cap: sum over tiles of
-    ceil(count / WINDOW_K) - 1. Sizes config.window_extra so the windowed
-    grid carries no unused tail (the default hard bound P // K costs one
-    empty ~1.3 us grid step per unused slot)."""
-    return jnp.sum(jnp.maximum((counts + WINDOW_K - 1) // WINDOW_K - 1, 0))
+    """Extra stream windows needed at each candidate window size: sum over
+    tiles of ceil(count / k) - 1, -> [len(WINDOW_K_CANDIDATES)]. Sizes
+    config.window_extra so the windowed grid carries no unused tail (the
+    default hard bound P // K costs one empty ~1.3 us grid step per unused
+    slot)."""
+    return jnp.stack([
+        jnp.sum(jnp.maximum((counts + k - 1) // k - 1, 0))
+        for k in WINDOW_K_CANDIDATES
+    ])
 
 
 @partial(jax.jit, static_argnames=("grid_x", "grid_y", "probe_p", "probe_k"))
@@ -155,8 +163,11 @@ def probe(state, cameras, max_views: int = 4, mesh=None, axis: str = "dev",
         worst_total = max(worst_total, int(total))
         worst_cnt = max(worst_cnt, int(cnt))
         worst_band = max(worst_band, int(bt))
-        worst_wx = max(worst_wx, int(wx))
-    probe.last_window_extra = worst_wx  # picked up by tuned_config
+        worst_wx = np.maximum(worst_wx, np.asarray(wx))
+    # side channel picked up by tuned_config / windowed_variant: worst
+    # extra-window count per WINDOW_K_CANDIDATES entry
+    probe.last_window_extras = dict(
+        zip(WINDOW_K_CANDIDATES, np.atleast_1d(worst_wx).tolist()))
     if band:
         return worst_total, worst_cnt, worst_band
     return worst_total, worst_cnt
@@ -279,12 +290,12 @@ def tuned_config(base: RasterizeConfig, state, cameras,
         # window, so K stays at the shallow cap and tiles up to S*K deep
         # split into virtual tiles (binning window_depth; fold in
         # rasterize._fold_windows). The probe's measured extra-window count
-        # (probe.last_window_extra side channel) sizes the virtual-tile
+        # (probe.last_window_extras side channel) sizes the virtual-tile
         # budget so the grid carries no P//K hard-bound tail.
         windows = int(np.ceil(want_k / WINDOW_K))
         k = WINDOW_K
-        window_extra = int(_round_up(
-            max(getattr(probe, "last_window_extra", 0), 1) * headroom, 64))
+        wx = getattr(probe, "last_window_extras", {}).get(WINDOW_K, 0)
+        window_extra = int(_round_up(max(wx, 1) * headroom, 64))
     band_p = 0
     if use_band:
         # banded sharded binning: each device's stream covers only its own
@@ -296,3 +307,21 @@ def tuned_config(base: RasterizeConfig, state, cameras,
                                band_intersection_budget=band_p,
                                tile_windows=windows,
                                window_extra=window_extra)
+
+
+def windowed_variant(cfg: RasterizeConfig, window_k: int,
+                     headroom: float = HEADROOM) -> RasterizeConfig:
+    """A/B variant of a TUNED config at a shallower stream window: K =
+    window_k with enough windows to cover the tuned depth. Uses the last
+    probe's measured extra-window counts (probe.last_window_extras), so
+    call after tuned_config. Rationale: the stream kernels DMA a full
+    K-row window per tile whatever its live count, so a shallower K moves
+    proportionally fewer bytes for the many light tiles, at the cost of
+    extra grid steps + the fold for the few deep ones (bench.py A/Bs the
+    trade on-chip)."""
+    depth = cfg.max_per_tile * max(cfg.tile_windows, 1)
+    S = int(np.ceil(depth / window_k))
+    wx = getattr(probe, "last_window_extras", {}).get(window_k, 0)
+    extra = int(_round_up(max(wx, 1) * headroom, 64))
+    return dataclasses.replace(cfg, max_per_tile=window_k, tile_windows=S,
+                               window_extra=extra)
