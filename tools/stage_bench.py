@@ -174,7 +174,13 @@ def main():
                     default="auto")
     ap.add_argument("--scale", type=float, default=0.088)
     ap.add_argument("--visible-frac", type=float, default=0.6)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU plumbing check (not a measurement)")
     args = ap.parse_args()
+    if args.smoke:
+        global N_GAUSS, WIDTH, HEIGHT
+        N_GAUSS, WIDTH, HEIGHT = 4000, 160, 120
+        args.iters = 2
 
     import jax
     import jax.numpy as jnp
@@ -245,19 +251,32 @@ def main():
         return out
 
     # --- per-stage steps (single-dispatch; the trainer's block dispatch
-    # times within noise of this, bench.py r4 A/B) ---
-    out0 = timed("stage0_step_ms", L.stage0_step, state, adam, stats, bundle,
+    # times within noise of this, bench.py r4 A/B). The step BODIES are
+    # re-jitted here WITHOUT donation: the trainer's donating wrappers are
+    # the right call shape for training, but the donated-buffer aliasing
+    # proved fragile on the axon tunnel (repeat InvalidArgument storms with
+    # the donating jits where the identical non-donating program runs), and
+    # a bench loop holds both generations alive anyway ---
+    step0 = jax.jit(L._stage0_body,
+                    static_argnames=("rcfg", "ocfg", "spatial_lr_scale"))
+    step1 = jax.jit(L._stage1_body,
+                    static_argnames=("rcfg", "ocfg", "with_alpha_loss"))
+    step21 = jax.jit(L._stage21_body,
+                     static_argnames=("rcfg", "ocfg", "with_alpha_loss"))
+    step22 = jax.jit(L._stage22_body,
+                     static_argnames=("rcfg", "ocfg", "with_alpha_loss"))
+    out0 = timed("stage0_step_ms", step0, state, adam, stats, bundle,
                  vi, jnp.int32(1000), bg, 1.0, rcfg, ocfg, donate2=True)
     state, adam = out0[0], out0[1]
-    o = timed("stage1_step_ms", L.stage1_step, state, adam, bundle, vi,
+    o = timed("stage1_step_ms", step1, state, adam, bundle, vi,
               jnp.int32(31_000), bg, jnp.float32(1.0), rcfg, ocfg,
               donate2=True)
     state, adam = o[0], o[1]
-    o = timed("stage21_step_ms", L.stage21_step, state, adam, kms, bundle, vi,
+    o = timed("stage21_step_ms", step21, state, adam, kms, bundle, vi,
               jnp.int32(51_000), bg, jnp.float32(1.0), pseudo_feat, rcfg,
               ocfg, donate2=True)
     state, adam = o[0], o[1]
-    o = timed("stage22_step_ms", L.stage22_step, state, adam, kms, bundle, vi,
+    o = timed("stage22_step_ms", step22, state, adam, kms, bundle, vi,
               jnp.int32(71_000), bg, jnp.float32(1.0), pseudo_feat,
               jnp.int32(3), jnp.asarray(True), rcfg, ocfg, donate2=True)
     state, adam = o[0], o[1]
