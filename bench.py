@@ -42,14 +42,18 @@ image+grad parity before timing.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_MPIX_S = 23.0
-WIDTH, HEIGHT = 1296, 968
-N_GAUSS = 200_000
+# Shape env overrides serve tools/phase_bench.py --recipe (the ScanNet
+# 648x484 regime); the driver's `python bench.py` keeps the defaults.
+WIDTH = int(os.environ.get("OG_BENCH_WIDTH", 1296))
+HEIGHT = int(os.environ.get("OG_BENCH_HEIGHT", 968))
+N_GAUSS = int(os.environ.get("OG_BENCH_SPLATS", 200_000))
 TIMED_ITERS = 20
 SCAN_K = 8  # steps per dispatch in the sustained (block-dispatch) measure
 

@@ -34,12 +34,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--heavy", action="store_true")
+    ap.add_argument("--recipe", action="store_true",
+                    help="profile the ScanNet recipe shape (648x484) "
+                    "instead of the 1296x968 bench frame")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--reduce", default=None,
                     help="override reduce_backend (scatter|sorted_mxu)")
     ap.add_argument("--layout", default=None,
                     help="override bwd_layout (dense|compact)")
     args = ap.parse_args()
+    if args.recipe:
+        os.environ["OG_BENCH_WIDTH"] = "648"
+        os.environ["OG_BENCH_HEIGHT"] = "484"
 
     import dataclasses
 

@@ -246,8 +246,25 @@ def main():
         assert dt > 1.0, (
             f"{name}: {dt:.3f} ms/step is below the dispatch floor — "
             "memoized/deferred execution, not a measurement")
-        res[name] = round(dt, 2)
-        print(f"# {name}: {dt:.2f} ms", file=sys.stderr, flush=True)
+        # async-chained pass: block only at the end, so the tunnel RTT
+        # pipelines behind device work (the trainer's real dispatch shape).
+        # Guarded against the deferred-execution artifact by the per-iter
+        # measurement above: accept only if within [dt - 2*RTT, dt].
+        t0 = time.perf_counter()
+        for _ in range(it):
+            out = fn(*a, **kw)
+            if donate2:
+                a[0], a[1] = out[0], out[1]
+        jax.block_until_ready(out)
+        dt_async = (time.perf_counter() - t0) / it * 1e3
+        if dt - 9.0 <= dt_async <= dt * 1.05:
+            res[name] = round(dt_async, 2)
+            print(f"# {name}: {dt_async:.2f} ms (async; per-iter {dt:.2f})",
+                  file=sys.stderr, flush=True)
+        else:
+            res[name] = round(dt, 2)
+            print(f"# {name}: {dt:.2f} ms (async {dt_async:.2f} rejected)",
+                  file=sys.stderr, flush=True)
         return out
 
     # --- per-stage steps (single-dispatch; the trainer's block dispatch
