@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -315,9 +315,98 @@ class RasterOut:
     n_truncated: Any  # [] int32
 
 
+class FrozenPlan(NamedTuple):
+    """Per-view binning + reduction plan for FROZEN geometry.
+
+    Past stage 0 only ins_feat trains (models/optimizer.py zeroes every
+    geometry LR), so projection rects, depth ranks, the (tile, rank) sort
+    order, per-tile ranges, and the backward's reduction order are all
+    LOOP-INVARIANT per (camera, budgets). This caches the integer plumbing
+    (~[P] int32 x 2 per view); per step the whole binning collapses to ONE
+    row gather of the current carry by `g_sorted` (the expand / pack gather
+    / key sort / searchsorted chain — ~12 ms of a recipe-shape step — is
+    skipped), and the backward's by-id sort becomes a cached-permutation
+    gather (ReducePlan).
+
+    Rescale semantics, PROVIDED the plan is truncation-free (n_truncated ==
+    0 == n_dropped — the trainer's tuned budgets guarantee it; under
+    K-truncation the superset window drops DEEPER real slots than a tight
+    binning would keep and results fork arbitrarily):
+
+      * at the plan's own covariance (rescale 1.0 — stage 1 always, half of
+        the stage-2.x steps): EXACT, same sorted stream bit for bit;
+      * at a SMALLER covariance (the trainer's random rescale_factor < 1):
+        the plan's pair list is a superset of the tight rescaled list.
+        Extra pairs beyond the opacity-aware cutoff evaluate to alpha <
+        1/255 and the blend's rule-1 skip (ops/blend.py:60,
+        rasterize_pallas.py:146) zeroes them exactly. Where the effective
+        radius is instead the classic 3-sigma bound (projection.py:162
+        takes min(3sigma, r_cut)), the rescaled tight binning drops tail
+        pairs with alpha up to o*e^-4.5 ~ 0.011 that the plan KEEPS — the
+        frozen render composites slightly MORE of the true Gaussian tail
+        than a fresh rescaled binning (measured <= 6e-3 on ~1% of pixels,
+        tests/test_frozen.py). This is the same order of approximation the
+        reference accepts from its own 3-sigma cut, on the more-exact side.
+
+    tests/test_frozen.py pins the exact and the bounded-deviation cases."""
+
+    g_sorted: Any  # [P] int32 splat per sorted slot
+    tstart: Any  # [Tv] int32
+    counts: Any  # [Tv] int32
+    vt_real: Any  # windowing maps or None (TileBins contract)
+    vt_first: Any
+    vt_n: Any
+    total: Any  # [] int32 (diagnostics, from the build)
+    n_dropped: Any
+    n_truncated: Any
+    reduce: Any  # rasterize_pallas.ReducePlan or None
+
+
+def build_frozen_plan(camera, means3d, cov3d, opacities,
+                      config: RasterizeConfig) -> FrozenPlan:
+    """Build the per-view FrozenPlan (jit-able; run once per view).
+
+    Must be called with the SAME camera / geometry / config the frozen
+    steps will use, at rescale_factor == 1 (the superset plan). Only the
+    Pallas stream path consumes plans (the production single-chip blend)."""
+    assert config.use_pallas() and config.pallas_input == "stream", (
+        "frozen plans require the Pallas stream path")
+    grid_x = (camera.width + TILE - 1) // TILE
+    grid_y = (camera.height + TILE - 1) // TILE
+    proj: Projected = project(
+        means3d, cov3d, camera,
+        opacities=opacities if config.tight_radius else None,
+    )
+    n = means3d.shape[0]
+    bins = bin_gaussians(
+        proj, grid_x, grid_y, config.max_intersections(n),
+        config.max_per_tile, dense=False, stream=True,
+        window_depth=config.tile_windows, window_extra=config.window_extra,
+    )
+    reduce_plan = None
+    from opengaussian_tpu.ops import rasterize_pallas as rp
+
+    backend = (rp.REDUCE_BACKEND if config.reduce_backend == "auto"
+               else config.reduce_backend)
+    if backend == "sorted_mxu" and n <= 2**24:
+        n_band = bins.counts.shape[0]
+        NC = config.max_intersections(n) // config.chunk + n_band
+        ids = rp.chunk_space_ids(
+            bins.sorted_gauss, bins.tile_start, bins.counts, config.chunk,
+            NC, n, config.max_per_tile,
+        )
+        reduce_plan = rp.build_reduce_plan(ids, n)
+    return FrozenPlan(
+        g_sorted=bins.sorted_gauss, tstart=bins.tile_start,
+        counts=bins.counts, vt_real=bins.vt_real, vt_first=bins.vt_first,
+        vt_n=bins.vt_n, total=bins.total, n_dropped=bins.n_dropped,
+        n_truncated=bins.n_truncated, reduce=reduce_plan,
+    )
+
+
 def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
              tile_lo: int = 0, tile_hi: int | None = None,
-             force_dense: bool = False, payload=None):
+             force_dense: bool = False, payload=None, frozen=None):
     grid_x = (camera.width + TILE - 1) // TILE
     grid_y = (camera.height + TILE - 1) // TILE
     proj: Projected = project(
@@ -340,20 +429,33 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
             [proj.mean2d, proj.conic, opac_m[:, None], payload,
              proj.depth[:, None]], axis=-1,
         ))
-    bins: TileBins = bin_gaussians(
-        proj,
-        grid_x,
-        grid_y,
-        config.max_intersections(means3d.shape[0]),
-        config.max_per_tile,
-        tile_lo=tile_lo,
-        tile_hi=tile_hi,
-        dense=not use_stream,
-        stream=use_stream,
-        carry=carry,
-        window_depth=config.tile_windows if use_stream else 0,
-        window_extra=config.window_extra,
-    )
+    if frozen is not None:
+        assert use_stream and carry is not None, (
+            "frozen plans apply only to the Pallas stream path")
+        sorted_carry = jax.lax.optimization_barrier(carry[frozen.g_sorted])
+        bins = TileBins(
+            gauss_idx=None, counts=frozen.counts, total=frozen.total,
+            n_dropped=frozen.n_dropped, n_truncated=frozen.n_truncated,
+            max_intersections=config.max_intersections(means3d.shape[0]),
+            tile_start=frozen.tstart, sorted_gauss=frozen.g_sorted,
+            sorted_carry=sorted_carry, vt_real=frozen.vt_real,
+            vt_first=frozen.vt_first, vt_n=frozen.vt_n,
+        )
+    else:
+        bins = bin_gaussians(
+            proj,
+            grid_x,
+            grid_y,
+            config.max_intersections(means3d.shape[0]),
+            config.max_per_tile,
+            tile_lo=tile_lo,
+            tile_hi=tile_hi,
+            dense=not use_stream,
+            stream=use_stream,
+            carry=carry,
+            window_depth=config.tile_windows if use_stream else 0,
+            window_extra=config.window_extra,
+        )
     lo = tile_lo
     hi = grid_x * grid_y if tile_hi is None else tile_hi
     return proj, bins, _tile_pixels(grid_x, grid_y)[lo:hi], (grid_x, grid_y)
@@ -387,7 +489,7 @@ def _fold_windows(accum, t_final, vt_first, vt_n, S: int):
 
 
 def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
-               tile_lo: int = 0):
+               tile_lo: int = 0, reduce_plan=None):
     grid_x, grid_y = grids
     H, W = camera.height, camera.width
     opac = jnp.where(proj.valid, opacities, 0.0)
@@ -412,6 +514,7 @@ def _composite(camera, proj, bins, pix, grids, opacities, payload, bg, config,
             bins.tile_start,
             bins.counts,
             toff.astype(jnp.int32),
+            reduce_plan,
             config.chunk,
             grid_x,
             max_chunks,
@@ -472,17 +575,22 @@ def rasterize(
     bg: jnp.ndarray,
     config: RasterizeConfig = RasterizeConfig(),
     screen_tap: jnp.ndarray | None = None,
+    frozen: FrozenPlan | None = None,
 ) -> RasterOut:
     """Render an arbitrary per-splat payload [N, C] to an [H, W, C] image.
 
     Matches the reference rasterizer's output contract (image, radii, depth,
-    alpha — SURVEY.md §2.1) but with C channels in one pass.
+    alpha — SURVEY.md §2.1) but with C channels in one pass. `frozen`: a
+    per-view FrozenPlan built by build_frozen_plan under the same camera /
+    geometry / config — skips the whole binning chain (see FrozenPlan).
     """
     proj, bins, pix, grids = _prepare(
-        camera, means3d, cov3d, config, screen_tap, opacities, payload=payload
+        camera, means3d, cov3d, config, screen_tap, opacities,
+        payload=payload, frozen=frozen,
     )
     image, alpha, depth = _composite(
-        camera, proj, bins, pix, grids, opacities, payload, bg, config
+        camera, proj, bins, pix, grids, opacities, payload, bg, config,
+        reduce_plan=frozen.reduce if frozen is not None else None,
     )
     return RasterOut(
         image=image,

@@ -46,7 +46,7 @@ TWO input layouts exist:
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -848,26 +848,29 @@ def blend_stream_pallas_bwd_compact(rows, counts, tstart, accum, t_final,
       t_final[:, None, :], ga_total[:, None, :])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def blend_tiles_pallas_stream(mean2d, conic, opac, payload, sorted_carry,
-                              stream_ids, tstart, counts, tile_offset, chunk,
-                              grid_x, max_chunks, max_per_tile,
-                              reduce_backend="auto", bwd_layout="auto"):
+                              stream_ids, tstart, counts, tile_offset,
+                              reduce_plan, chunk, grid_x, max_chunks,
+                              max_per_tile, reduce_backend="auto",
+                              bwd_layout="auto"):
     """sorted_carry: [P, D] f32 rows in sorted-slot order —
     (mean2d x/y, conic a/b/c, opac, payload..C) delivered by
     bin_gaussians(carry=...). mean2d/conic/opac/payload are the per-splat
     originals, used only as the cotangent structure (the custom backward
-    computes their gradients by per-splat reduction)."""
+    computes their gradients by per-splat reduction). reduce_plan: a
+    ReducePlan for frozen geometry (sort-free backward reduction) or None."""
     out, _ = _stream_fwd(mean2d, conic, opac, payload, sorted_carry,
-                         stream_ids, tstart, counts, tile_offset, chunk,
-                         grid_x, max_chunks, max_per_tile, reduce_backend,
-                         bwd_layout)
+                         stream_ids, tstart, counts, tile_offset, reduce_plan,
+                         chunk, grid_x, max_chunks, max_per_tile,
+                         reduce_backend, bwd_layout)
     return out
 
 
 def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
-                tstart, counts, tile_offset, chunk, grid_x, max_chunks,
-                max_per_tile, reduce_backend="auto", bwd_layout="auto"):
+                tstart, counts, tile_offset, reduce_plan, chunk, grid_x,
+                max_chunks, max_per_tile, reduce_backend="auto",
+                bwd_layout="auto"):
     n = payload.shape[0]
     # The splat INDEX rides the stream as one extra f32 column (exact below
     # 2^24): the backward writes it through to d_slot, so the per-splat
@@ -888,13 +891,14 @@ def _stream_fwd(mean2d, conic, opac, payload, sorted_carry, stream_ids,
                                            chunk, max_per_tile, f,
                                            tile_offset)
     accum = jnp.swapaxes(acc, 1, 2)  # [T, NPIX, C]
-    res = (rows, tstart, counts, tile_offset, acc, t_final, n, f)
+    res = (rows, tstart, counts, tile_offset, reduce_plan, acc, t_final, n, f)
     return (accum, t_final), res
 
 
 def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, reduce_backend,
                 bwd_layout, res, cts):
-    rows, tstart, counts, tile_offset, acc, t_final, n, f = res
+    (rows, tstart, counts, tile_offset, reduce_plan, acc, t_final, n,
+     f) = res
     n_carry = f - 1  # carry columns (id column excluded)
     T = counts.shape[0]
     K = max_per_tile
@@ -942,7 +946,8 @@ def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, reduce_backend,
     # garbage past total_chunks) and must still be dropped
     ids = rows_g[:, F - 1].astype(jnp.int32).reshape(NC, chunk)
     ids = jnp.where(live[:, None], ids, n).reshape(-1)
-    per_gauss = _per_splat_reduce(rows_g[:, :F - 1], ids, n, reduce_backend)
+    per_gauss = _per_splat_reduce(rows_g[:, :F - 1], ids, n, reduce_backend,
+                                  reduce_plan)
     per_gauss = jnp.concatenate(
         [per_gauss, jnp.zeros((n, 1), jnp.float32)], axis=-1
     )  # dead id column, keeps the slice layout below
@@ -954,9 +959,11 @@ def _stream_bwd(chunk, grid_x, max_chunks, max_per_tile, reduce_backend,
     zero_i = lambda s: np.zeros(s, jax.dtypes.float0)
     P_slots = rows.shape[0] - K
     d_carry = zero_i((P_slots, n_carry))
+    d_plan = jax.tree.map(lambda x: np.zeros(x.shape, jax.dtypes.float0),
+                          reduce_plan)
     return (d_mean2d, d_conic, d_opac, d_payload, d_carry,
             zero_i((P_slots,)), zero_i(tstart.shape),
-            zero_i(counts.shape), zero_i(tile_offset.shape))
+            zero_i(counts.shape), zero_i(tile_offset.shape), d_plan)
 
 
 blend_tiles_pallas_stream.defvjp(_stream_fwd, _stream_bwd)
@@ -1056,40 +1063,121 @@ def _reduce_kernel(nch_ref, lo_ref, rows_ref, out_ref, scratch, sems, *,
     out_ref[0] = acc
 
 
-def sorted_segment_reduce(rows, ids, n: int):
+class ReducePlan(NamedTuple):
+    """Precomputed sort-free reduction order for FROZEN geometry.
+
+    During stages 1-2.2 only ins_feat trains (models/optimizer.py zeroes
+    every geometry LR past stage 0), so the backward's chunk-space splat-id
+    layout is CONSTANT per view — the by-id sort that dominates the
+    reduction (README roofline: ~4.6 ms of the backward) collapses to one
+    cached-permutation row gather. Built once per view by
+    rasterize.build_frozen_plan."""
+
+    perm: jnp.ndarray  # [R] int32 row order by splat id
+    ids_pad: jnp.ndarray  # [ppad] int32 sorted ids, sentinel-padded
+    lo: jnp.ndarray  # [nw] int32 first RCH-chunk per WSEG-window
+    nch: jnp.ndarray  # [nw] int32 chunk count per window
+
+
+def chunk_space_ids(sorted_gauss, tstart, counts, chunk: int, NC: int,
+                    n: int, max_per_tile: int) -> jnp.ndarray:
+    """The backward's [NC*chunk] splat-id layout, computed analytically.
+
+    Mirrors _stream_bwd's dense-path compaction EXACTLY (tile_of scatter +
+    cummax, dead chunks sentineled to id n); the kernel instead passes ids
+    through as a gradient-row column because an explicit window gather costs
+    ~10 ms per step — at PLAN BUILD time (once per view) that cost is
+    irrelevant. Rows beyond a tile's live count inside a live chunk keep
+    the stream's id at that slot (zero-valued grads, harmless in the sum),
+    exactly like the pass-through column."""
+    T = counts.shape[0]
+    nchunks = (counts + chunk - 1) // chunk
+    chunk_base = jnp.cumsum(nchunks) - nchunks
+    total_chunks = jnp.sum(nchunks)
+    pchunk = jnp.arange(NC, dtype=jnp.int32)
+    t_ids1 = jnp.where(nchunks > 0, jnp.arange(T, dtype=jnp.int32) + 1, 0)
+    base_clip = jnp.minimum(chunk_base, NC - 1)
+    marks = jnp.zeros((NC,), jnp.int32).at[base_clip].max(t_ids1)
+    tile_of = jax.lax.cummax(marks) - 1
+    live = (pchunk < total_chunks) & (tile_of >= 0)
+    tile_safe = jnp.maximum(tile_of, 0)
+    i_of = pchunk - chunk_base[tile_safe]
+    # dead chunks alias the last dense chunk in _stream_bwd's gather; their
+    # VALUES are real duplicated rows, so the id sentinel below is what
+    # drops them — replicated here verbatim
+    slot0 = tstart[tile_safe] + i_of * chunk
+    slots = slot0[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    g_pad = jnp.concatenate(
+        [sorted_gauss, jnp.zeros((max_per_tile,), jnp.int32)]
+    )  # the stream rows are zero-padded by K rows -> id column 0 there
+    ids = g_pad[jnp.clip(slots, 0, g_pad.shape[0] - 1)]
+    ids = jnp.where(live[:, None], ids, n)
+    return ids.reshape(-1)
+
+
+def build_reduce_plan(ids, n: int) -> ReducePlan:
+    """ReducePlan from a fixed chunk-space id layout (ids [R] int32)."""
+    R = ids.shape[0]
+    perm = jnp.argsort(ids).astype(jnp.int32)
+    ids_s = ids[perm]
+    nch_tot = -(-R // RCH) + 1
+    ppad = nch_tot * RCH
+    sentinel = jnp.int32(2**24)
+    ids_pad = jnp.minimum(
+        jnp.concatenate([ids_s, jnp.full((ppad - R,), sentinel, jnp.int32)]),
+        sentinel,
+    )
+    nw = -(-n // WSEG)
+    bounds = jnp.searchsorted(
+        ids_s, jnp.arange(nw + 1, dtype=jnp.int32) * WSEG
+    ).astype(jnp.int32)
+    lo = bounds[:-1] // RCH
+    nch = jnp.maximum(-(-(bounds[1:] - lo * RCH) // RCH), 0)
+    return ReducePlan(perm=perm, ids_pad=ids_pad, lo=lo, nch=nch)
+
+
+def sorted_segment_reduce(rows, ids, n: int, plan: ReducePlan | None = None):
     """sum rows [R, F] into [n, F] by ids [R] (out-of-range ids dropped),
-    via sort-by-id + the windowed one-hot MXU kernel above."""
+    via sort-by-id + the windowed one-hot MXU kernel above. With a
+    ReducePlan (frozen geometry), the F+1-operand sort becomes ONE row
+    gather by the cached permutation and the window bounds come cached."""
     R, F = rows.shape
     f16 = -(-(F + 1) // 8) * 8  # gradient fields + the id row, 8-sublane pad
     nw = -(-n // WSEG)
-
-    ops = jax.lax.sort(
-        (ids.astype(jnp.int32),) + tuple(rows[:, i] for i in range(F)),
-        num_keys=1, is_stable=False,
-    )
-    ids_s = ops[0]
     nch_tot = -(-R // RCH) + 1  # one extra all-sentinel chunk for over-reads
     ppad = nch_tot * RCH
     sentinel = jnp.int32(2**24)
-    ids_pad = jnp.concatenate(
-        [ids_s, jnp.full((ppad - R,), sentinel, jnp.int32)]
-    )
-    # drop-sentineled rows (dead chunks aim at id >= n) also mask via the
-    # one-hot, but their ids must stay exact in f32
-    ids_pad = jnp.minimum(ids_pad, sentinel)
+
+    if plan is None:
+        ops = jax.lax.sort(
+            (ids.astype(jnp.int32),) + tuple(rows[:, i] for i in range(F)),
+            num_keys=1, is_stable=False,
+        )
+        ids_s = ops[0]
+        cols = ops[1:]
+        ids_pad = jnp.concatenate(
+            [ids_s, jnp.full((ppad - R,), sentinel, jnp.int32)]
+        )
+        # drop-sentineled rows (dead chunks aim at id >= n) also mask via the
+        # one-hot, but their ids must stay exact in f32
+        ids_pad = jnp.minimum(ids_pad, sentinel)
+        bounds = jnp.searchsorted(
+            ids_s, jnp.arange(nw + 1, dtype=jnp.int32) * WSEG
+        ).astype(jnp.int32)
+        lo = bounds[:-1] // RCH  # first chunk index per window
+        nch = jnp.maximum(-(-(bounds[1:] - lo * RCH) // RCH), 0)
+    else:
+        rows_s = rows[plan.perm]  # [R, F] row gather replaces the sort
+        cols = tuple(rows_s[:, i] for i in range(F))
+        ids_pad, lo, nch = plan.ids_pad, plan.lo, plan.nch
+
     rows_b = jnp.zeros((nch_tot, f16, RCH), jnp.float32)
     for i in range(F):
-        col = jnp.pad(ops[1 + i], (0, ppad - R)).reshape(nch_tot, RCH)
+        col = jnp.pad(cols[i], (0, ppad - R)).reshape(nch_tot, RCH)
         rows_b = rows_b.at[:, i, :].set(col)
     rows_b = rows_b.at[:, F, :].set(
         ids_pad.astype(jnp.float32).reshape(nch_tot, RCH)
     )
-
-    bounds = jnp.searchsorted(
-        ids_s, jnp.arange(nw + 1, dtype=jnp.int32) * WSEG
-    ).astype(jnp.int32)
-    lo = bounds[:-1] // RCH  # first chunk index per window
-    nch = jnp.maximum(-(-(bounds[1:] - lo * RCH) // RCH), 0)
 
     kern = functools.partial(_reduce_kernel, f16=f16, id_row=F)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1134,13 +1222,14 @@ REDUCE_BACKEND = "sorted_mxu"
 BWD_LAYOUT = "dense"  # validated on chip; loses to dense when A/B'd (above)
 
 
-def _per_splat_reduce(rows, ids, n: int, backend: str = "auto"):
+def _per_splat_reduce(rows, ids, n: int, backend: str = "auto",
+                      plan: ReducePlan | None = None):
     if backend == "auto":
         backend = REDUCE_BACKEND
     # ids ride the kernel as exact f32 -> above 2^24 splats use the scatter
     # (the binning sort has the same threshold, ops/binning.py:113)
     if backend == "sorted_mxu" and n <= 2**24:
-        return sorted_segment_reduce(rows, ids, n)
+        return sorted_segment_reduce(rows, ids, n, plan)
     if SORTED_REDUCE:
         out = jax.lax.sort(
             (ids,) + tuple(rows[:, i] for i in range(rows.shape[1])),

@@ -156,7 +156,7 @@ def render_sharded(
             accum, t_final = blend_tiles_pallas_stream(
                 proj.mean2d, proj.conic, opac_m, full_pay, bins.sorted_carry,
                 bins.sorted_gauss, tstart, counts,
-                toff.astype(jnp.int32), config.chunk,
+                toff.astype(jnp.int32), None, config.chunk,
                 grid_x, max_chunks, config.max_per_tile,
                 config.reduce_backend, config.bwd_layout,
             )

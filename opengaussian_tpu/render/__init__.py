@@ -85,8 +85,14 @@ def render(
     rescale_factor: jnp.ndarray | float = 1.0,
     screen_tap: jnp.ndarray | None = None,
     scale_modifier: float = 1.0,
+    frozen=None,
 ) -> RenderOutputs:
-    """Main render path (stages 0-2.1 image-level passes)."""
+    """Main render path (stages 0-2.1 image-level passes).
+
+    frozen: a per-view ops.rasterize.FrozenPlan built at scale_modifier /
+    rescale_factor 1.0 under this camera + geometry — serves BOTH passes
+    (at rescale 1 the color and feature covariances are identical, and a
+    rescaled feature pass rides the superset plan; see FrozenPlan)."""
     scales = gs.scales * scale_modifier
     cov3d = build_cov3d(scales, gs.quats)
     opac = gs.opacity
@@ -95,7 +101,8 @@ def render(
     radii = None
     if render_color:
         rgb = sh_to_rgb(active_sh_degree, gs.sh, gs.means, camera.cam_center)
-        r = rasterize(camera, gs.means, cov3d, opac, rgb, bg, config, screen_tap)
+        r = rasterize(camera, gs.means, cov3d, opac, rgb, bg, config,
+                      screen_tap, frozen=frozen)
         out = dataclasses.replace(
             out,
             render=r.image,
@@ -112,7 +119,8 @@ def render(
         feat = encoded_ins_feat(gs, quantized_feat, origin_feat)
         cov3d_f = build_cov3d(scales * rescale_factor, gs.quats)
         fbg = jnp.concatenate([bg, bg])  # reference applies the same 3-ch bg
-        rf = rasterize(camera, gs.means, cov3d_f, opac, feat, fbg, config)
+        rf = rasterize(camera, gs.means, cov3d_f, opac, feat, fbg, config,
+                       frozen=frozen)
         lost = rf.n_dropped + rf.n_truncated
         out = dataclasses.replace(
             out, ins_feat=rf.image, silhouette=rf.alpha,

@@ -270,7 +270,7 @@ def _alpha_mask_loss(out_alpha, bundle, view_idx):
 
 def _stage1_body(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
                  rescale_factor, rcfg: RasterizeConfig, ocfg,
-                 with_alpha_loss: bool = False):
+                 with_alpha_loss: bool = False, frozen=None):
     cam = bundle.camera(view_idx)
     sam = bundle.sam_ids[view_idx]
 
@@ -279,7 +279,7 @@ def _stage1_body(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
         out = render(
             cam, gs, bg, 3, rcfg,
             render_color=with_alpha_loss, render_feat_map=True,
-            rescale_factor=rescale_factor,
+            rescale_factor=rescale_factor, frozen=frozen,
         )
         sil = (out.silhouette > 0.7).astype(jnp.float32)
         masks, valid = masku.masks_onehot(sam, bundle.max_masks)
@@ -303,20 +303,31 @@ def _stage1_body(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
          donate_argnums=(0, 1))
 def stage1_step(state, adam, bundle: ViewBundle, view_idx, iteration, bg,
                 rescale_factor, rcfg: RasterizeConfig, ocfg,
-                with_alpha_loss: bool = False):
+                with_alpha_loss: bool = False, frozen_all=None,
+                plan_idx=None):
+    """frozen_all: a [V, ...]-stacked FrozenPlan pytree (Trainer cache);
+    sliced INSIDE the jit (plan_idx, defaulting to view_idx) — eager
+    per-step slicing would cost one tunnel round trip per leaf."""
+    fz = None
+    if frozen_all is not None:
+        pi = view_idx if plan_idx is None else plan_idx
+        fz = jax.tree.map(lambda x: x[pi], frozen_all)
     return _stage1_body(state, adam, bundle, view_idx, iteration, bg,
-                        rescale_factor, rcfg, ocfg, with_alpha_loss)
+                        rescale_factor, rcfg, ocfg, with_alpha_loss, fz)
 
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
          donate_argnums=(0, 1))
 def stage1_block(state, adam, bundle: ViewBundle, vis, its, bgs, rescales,
-                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False,
+                 frozen_all=None):
     def body(carry, xs):
         st, ad = carry
         vi, it, bg, rs = xs
+        fz = (jax.tree.map(lambda x: x[vi], frozen_all)
+              if frozen_all is not None else None)
         st, ad, loss, lost = _stage1_body(
-            st, ad, bundle, vi, it, bg, rs, rcfg, ocfg, with_alpha_loss
+            st, ad, bundle, vi, it, bg, rs, rcfg, ocfg, with_alpha_loss, fz
         )
         return (st, ad), (loss, lost)
 
@@ -328,7 +339,7 @@ def stage1_block(state, adam, bundle: ViewBundle, vis, its, bgs, rescales,
 
 def _stage21_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
                   rescale_factor, pseudo_feat, rcfg: RasterizeConfig, ocfg,
-                  with_alpha_loss: bool = False):
+                  with_alpha_loss: bool = False, frozen=None):
     """Coarse-codebook stage: L1(rendered quantized feat, pseudo feat) inside
     the rendered silhouette (reference train.py:464-473)."""
     cam = bundle.camera(view_idx)
@@ -340,7 +351,7 @@ def _stage21_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
         out = render(
             cam, gs, bg, 3, rcfg,
             render_color=with_alpha_loss, render_feat_map=True,
-            quantized_feat=q, rescale_factor=rescale_factor,
+            quantized_feat=q, rescale_factor=rescale_factor, frozen=frozen,
         )
         keep = (out.silhouette > 0.7).astype(jnp.float32)[..., None]
         loss = losses.l1_loss(out.ins_feat, pseudo_feat, keep)
@@ -360,23 +371,30 @@ def _stage21_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
          donate_argnums=(0, 1))
 def stage21_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
                  rescale_factor, pseudo_feat, rcfg: RasterizeConfig, ocfg,
-                 with_alpha_loss: bool = False):
+                 with_alpha_loss: bool = False, frozen_all=None,
+                 plan_idx=None):
+    fz = None
+    if frozen_all is not None:
+        pi = view_idx if plan_idx is None else plan_idx
+        fz = jax.tree.map(lambda x: x[pi], frozen_all)
     return _stage21_body(state, adam, kms, bundle, view_idx, iteration, bg,
                          rescale_factor, pseudo_feat, rcfg, ocfg,
-                         with_alpha_loss)
+                         with_alpha_loss, fz)
 
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
          donate_argnums=(0, 1))
 def stage21_block(state, adam, kms, bundle: ViewBundle, vis, its, bgs,
                   rescales, pseudo_feat_all, rcfg: RasterizeConfig, ocfg,
-                  with_alpha_loss: bool = False):
+                  with_alpha_loss: bool = False, frozen_all=None):
     def body(carry, xs):
         st, ad = carry
         vi, it, bg, rs = xs
+        fz = (jax.tree.map(lambda x: x[vi], frozen_all)
+              if frozen_all is not None else None)
         st, ad, loss, lost = _stage21_body(
             st, ad, kms, bundle, vi, it, bg, rs, pseudo_feat_all[vi],
-            rcfg, ocfg, with_alpha_loss,
+            rcfg, ocfg, with_alpha_loss, fz,
         )
         return (st, ad), (loss, lost)
 
@@ -529,6 +547,17 @@ class Trainer:
         self.root_id = 0
         self.autotune_budgets = autotune_budgets
         self._budgets_tuned = False
+        # Frozen-geometry per-view binning plans (ops/rasterize.FrozenPlan):
+        # past stage 0 only ins_feat trains, so the per-view sort order and
+        # reduction order are loop-invariant — caching them removes the
+        # expand/pack/sort/searchsorted chain AND the backward's by-id sort
+        # from every stage-1/2.1 step (~2x at the ScanNet recipe shape,
+        # tools/stage_bench.py). None = not built; False = tried and
+        # disabled (budgets lost slots, or the memory cap).
+        self.use_frozen_plans = True
+        self._frozen_plans = None
+        # device-memory cap for the stacked plans (bytes)
+        self.frozen_plan_bytes_cap = 4 << 30
         self._last_lost = None  # budget-health scalar from the last stage-0 step
         self._last_view = 0
         self._tb_first_eval = True
@@ -664,6 +693,8 @@ class Trainer:
                   f"max_per_tile {self.rcfg.max_per_tile}->{new.max_per_tile}",
                   flush=True)
             self.rcfg = new
+            if self._frozen_plans is not None:
+                self._frozen_plans = None  # rebuild at the new budgets
         # a frame re-tune rebuilt rcfg from the base config, dropping any
         # group budgets — re-probe them if the coarse assignment exists
         if self.iteration + 1 > self.cfg.opt.start_root_cb_iter:
@@ -696,6 +727,10 @@ class Trainer:
             self.rcfg = new
 
     def _maybe_grow(self):
+        # geometry is about to change (densify path) — any frozen plans are
+        # stale (they are only built past stage 0, but guard regardless)
+        if self._frozen_plans is not None:
+            self._frozen_plans = None
         frac = int(self.state.num_alive) / self.state.capacity
         if frac > 0.9:
             new_cap = G.round_capacity(int(self.state.capacity * 2))
@@ -741,6 +776,54 @@ class Trainer:
             )
             self._psweeps_key = key
         return self._psweeps
+
+    def _ensure_frozen_plans(self):
+        """Build (once) the stacked per-view FrozenPlan cache for stages
+        1 / 2.1. Applies only off-mesh on the Pallas stream path; disabled
+        if any view's build loses slots at the current budgets (the
+        exactness precondition — FrozenPlan docstring) or the stack would
+        exceed frozen_plan_bytes_cap."""
+        if (not self.use_frozen_plans or self.mesh is not None
+                or self._frozen_plans is False):
+            return None
+        if not (self.rcfg.use_pallas()
+                and self.rcfg.pallas_input == "stream"):
+            return None
+        if self._frozen_plans is not None:
+            return self._frozen_plans
+        from opengaussian_tpu.ops.projection import build_cov3d
+        from opengaussian_tpu.ops.rasterize import build_frozen_plan
+
+        V = self.bundle.num_views
+        n = self.state.capacity
+        P = self.rcfg.max_intersections(n)
+        # per view: g_sorted [P] + reduce perm/ids_pad [~NC*chunk] x2
+        est = V * 4 * (P + 2 * (P + self.rcfg.max_per_tile * 8))
+        if est > self.frozen_plan_bytes_cap:
+            print(f"[frozen] plans disabled: ~{est >> 20} MB exceeds the "
+                  f"{self.frozen_plan_bytes_cap >> 20} MB cap", flush=True)
+            self._frozen_plans = False
+            return None
+        build = jax.jit(build_frozen_plan, static_argnames=("config",))
+        cov3d = build_cov3d(self.state.scales, self.state.quats)
+        t0 = time.time()
+        plans, lost = [], 0
+        for vi in range(V):
+            p = build(self.bundle.camera(vi), self.state.means, cov3d,
+                      self.state.opacity, config=self.rcfg)
+            lost += int(p.n_dropped) + int(p.n_truncated)
+            plans.append(p)
+        if lost > 0:
+            print(f"[frozen] plans disabled: builds lost {lost} slots at "
+                  "the tuned budgets (would break superset exactness)",
+                  flush=True)
+            self._frozen_plans = False
+            return None
+        self._frozen_plans = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *plans)
+        print(f"[frozen] built {V} view plans in {time.time() - t0:.1f}s",
+              flush=True)
+        return self._frozen_plans
 
     def _ensure_pseudo(self, mode: str):
         cams = [self.bundle.camera(i) for i in range(self.bundle.num_views)]
@@ -966,6 +1049,8 @@ class Trainer:
                 self.state, self.adam, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 self.rcfg, o, self.any_alpha,
+                frozen_all=self._ensure_frozen_plans(),
+                plan_idx=jnp.int32(vi),
             )
         elif stage == "2.1":
             self.state, self.adam, loss, self._last_lost = stage21_step(
@@ -973,6 +1058,8 @@ class Trainer:
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 jnp.asarray(self.pseudo.feat[vi]), self.rcfg, o,
                 self.any_alpha,
+                frozen_all=self._ensure_frozen_plans(),
+                plan_idx=jnp.int32(vi),
             )
         else:
             root_vis = (
@@ -1011,11 +1098,13 @@ class Trainer:
             self.state, self.adam, loss, self._last_lost = stage1_block(
                 self.state, self.adam, self.bundle, vis, its, bgs, rescales,
                 self.rcfg, o, self.any_alpha,
+                frozen_all=self._ensure_frozen_plans(),
             )
         elif stage == "2.1":
             self.state, self.adam, loss, self._last_lost = stage21_block(
                 self.state, self.adam, self.kms, self.bundle, vis, its, bgs,
                 rescales, self.pseudo.feat, self.rcfg, o, self.any_alpha,
+                frozen_all=self._ensure_frozen_plans(),
             )
         else:
             # root-id round-robin advances inside the block

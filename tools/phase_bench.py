@@ -143,7 +143,7 @@ def main():
             bins.sorted_gauss, bins.tile_start, bins.counts,
             (bins.vt_real if bins.vt_real is not None
              else jnp.arange(n_band, dtype=jnp.int32)),
-            rcfg.chunk, grids[0], max_chunks,
+            None, rcfg.chunk, grids[0], max_chunks,
             rcfg.max_per_tile, rcfg.reduce_backend, rcfg.bwd_layout,
         )
         return jnp.sum(accum), jnp.sum(t_final)
