@@ -28,6 +28,7 @@ from opengaussian_tpu.models.gaussians import GaussianState
 from opengaussian_tpu.ops.projection import build_cov3d
 from opengaussian_tpu.ops.rasterize import (
     RasterizeConfig,
+    RasterOut,
     rasterize,
     rasterize_groups,
     rasterize_scan_groups,
@@ -150,6 +151,7 @@ def render_clusters(
     min_points: int = MIN_CLUSTER_POINTS,
     payload_rgb: bool = False,  # seg_rgb mode: composite SH color instead
     active_sh_degree: int = 3,
+    frozen=None,
 ) -> RenderOutputs:
     """Per-cluster feature/silhouette renders (stage 2.2 + pseudo-label sweeps
     + text/click selection).
@@ -158,6 +160,14 @@ def render_clusters(
     renders only splats with cluster_ids == group_ids[g] (visible, optionally
     small-scale, optionally pre-masked); a group is `valid` when it kept at
     least `min_points` splats, `occur` when its silhouette peaks above 0.8.
+
+    frozen: the per-view FULL-FRAME FrozenPlan (the same one stages 1/2.1
+    use). A group render is a masked-opacity blend, and masked opacities are
+    a subset of the plan's own — zeroed members hit the alpha < 1/255 rule-1
+    skip exactly, so the shared frozen stream reproduces the per-group
+    re-binning bit-for-bit (tests/test_frozen.py). Each group pays a
+    full-stream walk, so this wins for small G (stage 2.2's G == 1) while
+    the per-group scan re-binning stays the default for the k1-group sweeps.
     """
     scales = gs.scales
     cov3d = build_cov3d(scales * rescale_factor, gs.quats)
@@ -174,7 +184,8 @@ def render_clusters(
         keep = keep & extra_mask[None, :]
     if better_vis:
         keep = keep & jnp.all(scales < scale_limit, axis=-1)[None, :]
-    return _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points)
+    return _render_groups(camera, gs, keep, payload, fbg, cov3d, config,
+                          min_points, frozen=frozen)
 
 
 def render_selection(
@@ -216,17 +227,40 @@ def render_selection(
     )
 
 
-def _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points):
+def _render_groups(camera, gs, keep, payload, fbg, cov3d, config, min_points,
+                   frozen=None):
     counts = keep.sum(axis=-1)
     valid = counts >= min_points
 
     opac = jnp.where(keep, gs.opacity[None, :], 0.0)
-    # group_render="scan" (the default via "auto"): per-group re-binning on
-    # the stream path — see rasterize_scan_groups. "dense" keeps the shared-
-    # binning vmapped twin.
-    groups_fn = (rasterize_groups if config.group_render == "dense"
-                 else rasterize_scan_groups)
-    r = groups_fn(camera, gs.means, cov3d, opac, payload, fbg, config)
+    if frozen is not None:
+        # masked-opacity blend over the shared frozen full-frame stream (at
+        # the FRAME budgets the plan was built with — group budgets do not
+        # apply here); see render_clusters' frozen note
+        def one(opac_g):
+            r = rasterize(camera, gs.means, cov3d, opac_g, payload, fbg,
+                          config, frozen=frozen)
+            return (r.image, r.alpha, r.depth, r.radii, r.n_dropped,
+                    r.n_truncated)
+
+        if opac.shape[0] == 1:
+            img, alpha, depth, radii, nd, nt = jax.tree.map(
+                lambda x: x[None], one(opac[0]))
+            radii, nd, nt = radii[0], nd[0], nt[0]
+        else:
+            _, (img, alpha, depth, radii, nd, nt) = jax.lax.scan(
+                lambda c, o: (c, one(o)), None, opac)
+            radii = jnp.max(radii, axis=0)
+            nd, nt = jnp.sum(nd), jnp.sum(nt)
+        r = RasterOut(image=img, alpha=alpha, depth=depth, radii=radii,
+                      n_dropped=nd, n_truncated=nt)
+    else:
+        # group_render="scan" (the default via "auto"): per-group re-binning
+        # on the stream path — see rasterize_scan_groups. "dense" keeps the
+        # shared-binning vmapped twin.
+        groups_fn = (rasterize_groups if config.group_render == "dense"
+                     else rasterize_scan_groups)
+        r = groups_fn(camera, gs.means, cov3d, opac, payload, fbg, config)
     occur = jnp.max(r.alpha, axis=(1, 2)) > OCCUR_SIL_THRESHOLD
     return RenderOutputs(
         cluster_imgs=r.image,

@@ -406,11 +406,17 @@ def stage21_block(state, adam, kms, bundle: ViewBundle, vis, its, bgs,
 
 def _stage22_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
                   rescale_factor, pseudo_feat, root_id, root_visible,
-                  rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+                  rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False,
+                  frozen=None):
     """Fine-codebook stage: render the selected coarse cluster with
     leaf-quantized features, L2 against the pseudo features inside the
     cluster silhouette (reference train.py:475-489). Skips the update when
-    the root is invisible in this view (no_need_bk, train.py:497)."""
+    the root is invisible in this view (no_need_bk, train.py:497).
+
+    frozen: the view's full-frame FrozenPlan. Root assignments are fixed
+    during stage 2.2 (assign_root only runs in 2.1), so the single-root
+    cluster render rides the shared plan as a masked-opacity blend
+    (render_clusters' frozen note) instead of re-binning per step."""
     cam = bundle.camera(view_idx)
 
     def loss_fn(params):
@@ -420,13 +426,14 @@ def _stage22_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
         out = render_clusters(
             cam, gs, bg, kms.cls_ids, root_id[None], rcfg,
             quantized_feat=q, rescale_factor=rescale_factor, min_points=1,
+            frozen=frozen,
         )
         sil = (out.cluster_silhouettes[0] > 0.7).astype(jnp.float32)[..., None]
         ok = out.cluster_occur[0] & root_visible
         loss = losses.l2_loss(out.cluster_imgs[0], pseudo_feat, sil)
         n_lost = out.n_lost
         if with_alpha_loss:
-            color = render(cam, gs, bg, 3, rcfg)
+            color = render(cam, gs, bg, 3, rcfg, frozen=frozen)
             loss = loss + _alpha_mask_loss(color.alpha, bundle, view_idx)
             n_lost = jnp.maximum(n_lost, color.n_lost)  # budget health
         return jnp.where(ok, loss, 0.0), (ok, n_lost)
@@ -444,23 +451,31 @@ def _stage22_body(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
          donate_argnums=(0, 1))
 def stage22_step(state, adam, kms, bundle: ViewBundle, view_idx, iteration, bg,
                  rescale_factor, pseudo_feat, root_id, root_visible,
-                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+                 rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False,
+                 frozen_all=None, plan_idx=None):
+    fz = None
+    if frozen_all is not None:
+        pi = view_idx if plan_idx is None else plan_idx
+        fz = jax.tree.map(lambda x: x[pi], frozen_all)
     return _stage22_body(state, adam, kms, bundle, view_idx, iteration, bg,
                          rescale_factor, pseudo_feat, root_id, root_visible,
-                         rcfg, ocfg, with_alpha_loss)
+                         rcfg, ocfg, with_alpha_loss, fz)
 
 
 @partial(jax.jit, static_argnames=("rcfg", "ocfg", "with_alpha_loss"),
          donate_argnums=(0, 1))
 def stage22_block(state, adam, kms, bundle: ViewBundle, vis, its, bgs,
                   rescales, root_ids, pseudo_feat_all, cluster_occur,
-                  rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False):
+                  rcfg: RasterizeConfig, ocfg, with_alpha_loss: bool = False,
+                  frozen_all=None):
     def body(carry, xs):
         st, ad = carry
         vi, it, bg, rs, rid = xs
+        fz = (jax.tree.map(lambda x: x[vi], frozen_all)
+              if frozen_all is not None else None)
         st, ad, loss, _, lost = _stage22_body(
             st, ad, kms, bundle, vi, it, bg, rs, pseudo_feat_all[vi], rid,
-            cluster_occur[vi, rid], rcfg, ocfg, with_alpha_loss,
+            cluster_occur[vi, rid], rcfg, ocfg, with_alpha_loss, fz,
         )
         return (st, ad), (loss, lost)
 
@@ -1072,6 +1087,8 @@ class Trainer:
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 jnp.asarray(self.pseudo.feat[vi]), jnp.int32(self.root_id),
                 root_vis, self.rcfg, o, self.any_alpha,
+                frozen_all=self._ensure_frozen_plans(),
+                plan_idx=jnp.int32(vi),
             )
         return loss
 
@@ -1124,6 +1141,7 @@ class Trainer:
                 self.state, self.adam, self.kms, self.bundle, vis, its, bgs,
                 rescales, jnp.asarray(root_ids, jnp.int32),
                 self.pseudo.feat, occur, self.rcfg, o, self.any_alpha,
+                frozen_all=self._ensure_frozen_plans(),
             )
         return loss
 

@@ -126,6 +126,53 @@ def test_frozen_superset_serves_rescaled_cov(cfg):
         assert np.abs(a - b).max() / scale <= 0.02
 
 
+def test_cluster_render_frozen_matches_scan():
+    """Stage-2.2's single-root cluster render over the shared frozen plan
+    (masked-opacity blend, rule-1 subsetting) vs the per-group scan
+    re-binning — image/silhouette/occur and payload grads must agree."""
+    import dataclasses as dc
+
+    from opengaussian_tpu.models.gaussians import create_from_pcd
+    from opengaussian_tpu.render import render_clusters
+
+    rng = np.random.default_rng(7)
+    n = 600
+    pts = np.stack([rng.normal(0, .6, n), rng.normal(0, .45, n),
+                    rng.uniform(2, 6, n)], -1).astype(np.float32)
+    cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    gs = create_from_pcd(pts, cols, capacity=n, seed=0)
+    gs = dc.replace(gs, log_scales=gs.log_scales + np.log(0.3),
+                    ins_feat=jnp.asarray(
+                        rng.uniform(-1, 1, (n, 6)).astype(np.float32)))
+    cam = Camera.from_fov(np.eye(3), np.zeros(3), 1.0, 0.8, 96, 80)
+    cls_ids = jnp.asarray((pts[:, 0] > 0).astype(np.int32))  # 2 clusters
+    cfg = RasterizeConfig(max_per_tile=512, chunk=32, backend="pallas",
+                          min_intersections=8192)
+    cov = build_cov3d(gs.scales, gs.quats)
+    plan = build_frozen_plan(cam, gs.means, cov, gs.opacity, cfg)
+    assert int(plan.n_truncated) == 0 and int(plan.n_dropped) == 0
+
+    def run(frozen):
+        def f(feat):
+            g2 = dc.replace(gs, ins_feat=feat)
+            out = render_clusters(cam, g2, jnp.zeros(3), cls_ids,
+                                  jnp.asarray([1]), cfg, min_points=1,
+                                  frozen=frozen)
+            return jnp.sum(out.cluster_imgs[0] * 0.01), out
+
+        (loss, out), grad = jax.value_and_grad(f, has_aux=True)(gs.ins_feat)
+        return loss, out, grad
+
+    l0, o0, g0 = run(None)
+    l1, o1, g1 = run(plan)
+    np.testing.assert_allclose(o1.cluster_imgs[0], o0.cluster_imgs[0],
+                               atol=1e-5)
+    np.testing.assert_allclose(o1.cluster_silhouettes[0],
+                               o0.cluster_silhouettes[0], atol=1e-5)
+    assert bool(o1.cluster_occur[0]) == bool(o0.cluster_occur[0])
+    np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=2e-5)
+
+
 def test_trainer_stage1_frozen_parity(tmp_path):
     """Trainer with frozen plans vs without: stage 1 runs at rescale 1.0,
     where the plan path is EXACT — ins_feat trajectories must agree to
