@@ -57,12 +57,25 @@ class TileBins(NamedTuple):
     # rasterize._fold_windows)
 
 
+def depth_rank(depth: jnp.ndarray) -> jnp.ndarray:
+    """Global depth rank (unique, stable): the sort key minor part. Rank
+    depends ONLY on depth, so group renders sharing one projection compute
+    it once and pass it to every per-group bin_gaussians (the [N] argsort
+    measured ~1.5 ms at 200k splats — repeated k1*k2 times per lang-sweep
+    view before the hoist)."""
+    order = jnp.argsort(depth, stable=True)
+    n = depth.shape[0]
+    return jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
 def bin_gaussians(
     proj: Projected, grid_x: int, grid_y: int, max_intersections: int,
     max_per_tile: int, tile_lo: int = 0, tile_hi: int | None = None,
     dense: bool = True, stream: bool = False,
     carry: jnp.ndarray | None = None, band_size: int | None = None,
     window_depth: int = 0, window_extra: int = 0,
+    rank: jnp.ndarray | None = None,
 ) -> TileBins:
     """tile_lo/tile_hi restrict the per-tile outputs (gauss_idx, counts,
     tile_start) to the tile range [tile_lo, tile_hi) — used by banded
@@ -143,8 +156,8 @@ def bin_gaussians(
     # Global depth rank: ranks are unique, so ordering by rank within a tile
     # equals stable ordering by depth. Sorting (tile << bits) | rank as one
     # int32 key is exact and fast when the bits fit.
-    order = jnp.argsort(depth, stable=True)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    if rank is None:
+        rank = depth_rank(depth)
 
     # ONE packed row-gather for all per-slot splat attributes (a v5e scalar
     # gather costs about as much as a row gather, so 8 separate [P] gathers

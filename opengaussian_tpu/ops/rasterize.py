@@ -32,7 +32,7 @@ import numpy as np
 
 from opengaussian_tpu.cameras import Camera
 from opengaussian_tpu.ops import blend
-from opengaussian_tpu.ops.binning import TileBins, bin_gaussians
+from opengaussian_tpu.ops.binning import TileBins, bin_gaussians, depth_rank
 from opengaussian_tpu.ops.projection import TILE, Projected, project
 
 
@@ -406,13 +406,15 @@ def build_frozen_plan(camera, means3d, cov3d, opacities,
 
 def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
              tile_lo: int = 0, tile_hi: int | None = None,
-             force_dense: bool = False, payload=None, frozen=None):
+             force_dense: bool = False, payload=None, frozen=None,
+             proj=None, rank=None):
     grid_x = (camera.width + TILE - 1) // TILE
     grid_y = (camera.height + TILE - 1) // TILE
-    proj: Projected = project(
-        means3d, cov3d, camera, screen_tap=screen_tap,
-        opacities=opacities if config.tight_radius else None,
-    )
+    if proj is None:
+        proj = project(
+            means3d, cov3d, camera, screen_tap=screen_tap,
+            opacities=opacities if config.tight_radius else None,
+        )
     # the Pallas kernels consume the sorted stream directly; the XLA scan
     # blend and vmapped group renders need the dense [T, K] matrix
     use_stream = (config.use_pallas() and not force_dense
@@ -455,6 +457,7 @@ def _prepare(camera, means3d, cov3d, config, screen_tap, opacities=None,
             carry=carry,
             window_depth=config.tile_windows if use_stream else 0,
             window_extra=config.window_extra,
+            rank=rank,
         )
     lo = tile_lo
     hi = grid_x * grid_y if tile_hi is None else tile_hi
@@ -576,6 +579,8 @@ def rasterize(
     config: RasterizeConfig = RasterizeConfig(),
     screen_tap: jnp.ndarray | None = None,
     frozen: FrozenPlan | None = None,
+    proj: Projected | None = None,
+    rank: jnp.ndarray | None = None,
 ) -> RasterOut:
     """Render an arbitrary per-splat payload [N, C] to an [H, W, C] image.
 
@@ -583,10 +588,12 @@ def rasterize(
     alpha — SURVEY.md §2.1) but with C channels in one pass. `frozen`: a
     per-view FrozenPlan built by build_frozen_plan under the same camera /
     geometry / config — skips the whole binning chain (see FrozenPlan).
+    `proj`/`rank`: a precomputed projection / depth rank (group renders
+    hoist both out of their per-group scan — rasterize_scan_groups).
     """
     proj, bins, pix, grids = _prepare(
         camera, means3d, cov3d, config, screen_tap, opacities,
-        payload=payload, frozen=frozen,
+        payload=payload, frozen=frozen, proj=proj, rank=rank,
     )
     image, alpha, depth = _composite(
         camera, proj, bins, pix, grids, opacities, payload, bg, config,
@@ -690,11 +697,34 @@ def rasterize_scan_groups(
     real opacity), so `max` over the group axis reproduces them.
     Requires tight_radius for the stream-shrinking effect (correct either
     way). Returns RasterOut with a leading group axis on image/alpha/depth.
+
+    Projection + depth rank are HOISTED out of the scan: for a group
+    MEMBER the masked opacity equals its real opacity, so the union
+    projection's radius/rect/conic are bit-identical to what a per-group
+    project() would compute; non-members just zero radius/num_tiles/valid.
+    That removes one full [N] projection + one [N] argsort per group
+    (~2 ms each at 200k splats — repeated k1*k2=320 times per lang-sweep
+    view before the hoist, tools/stage_bench.py).
     """
     gcfg = config.group_config()
+    union_opac = jnp.max(opacities, axis=0)
+    proj_u: Projected = project(
+        means3d, cov3d, camera,
+        opacities=union_opac if config.tight_radius else None,
+    )
+    rank = depth_rank(jax.lax.stop_gradient(proj_u.depth))
 
     def one(opac_g):
-        r = rasterize(camera, means3d, cov3d, opac_g, payload, bg, gcfg)
+        m = opac_g > 0.0
+        proj_g = dataclasses.replace(
+            proj_u,
+            radius=jnp.where(m, proj_u.radius, 0),
+            cull_radius=jnp.where(m, proj_u.cull_radius, 0.0),
+            num_tiles=jnp.where(m, proj_u.num_tiles, 0),
+            valid=proj_u.valid & m,
+        )
+        r = rasterize(camera, means3d, cov3d, opac_g, payload, bg, gcfg,
+                      proj=proj_g, rank=rank)
         return (r.image, r.alpha, r.depth, r.radii, r.n_dropped, r.n_truncated)
 
     if opacities.shape[0] == 1:
