@@ -188,6 +188,30 @@ def pixel_weight_accumulation(
     return base * (1.0 + n_match[None, None, :]) + (1.0 - base) * acc
 
 
+@partial(jax.jit, static_argnames=("max_ids", "config", "threshold"))
+def pixel_weight_expand(
+    gs, camera, splat_global_id, contrib, synced_mask, n_match,
+    max_ids: int, config: RasterizeConfig, threshold: float,
+):
+    """pixel_weight_accumulation + the per-pixel argmax/threshold ON DEVICE.
+
+    The [H, W, n_gids] weight volume never leaves the chip: at the
+    north-star shape (648x484, n_gids in the hundreds) that volume is
+    hundreds of MB per view, and the axon tunnel moves D2H at ~44 MB/s
+    (measured 2026-08-20) — transferring it per view put the full
+    refinement beyond a 58-min timeout (tools/refine_bench.py history).
+    Transferring the [H, W] winners + [H, W] max weights is ~2.5 MB.
+    -> refined row [H, W] int32 (-1 void), exactly the caller's
+    where(wmax >= threshold, argmax + 1, -1)."""
+    w = pixel_weight_accumulation(
+        gs, camera, splat_global_id, contrib, synced_mask, n_match,
+        max_ids, config,
+    )
+    best = jnp.argmax(w, axis=-1).astype(jnp.int32)
+    wmax = jnp.max(w, axis=-1)
+    return jnp.where(wmax >= threshold, best + 1, -1)
+
+
 def majority_winner(dom: np.ndarray) -> np.ndarray:
     """Per-splat MAJORITY over per-view dominant ids, 0 = no vote (reference
     expand_masks:1005-1020 counts one vote per camera; max() over the
@@ -374,6 +398,17 @@ def refine_sam_masks(
                 gs, cameras[v], gid_j, jnp.asarray(match_v),
                 jnp.asarray(synced_v), jnp.asarray(n_match), n_gids,
             )
+        elif trace is None:
+            # fused device argmax: the [H, W, n_gids] volume stays on chip
+            # (see pixel_weight_expand — the per-view transfer dominated
+            # the whole refinement over the slow tunnel)
+            refined[v] = np.asarray(pixel_weight_expand(
+                gs, cameras[v], gid_j, jnp.asarray(match_v),
+                jnp.asarray(synced_v), jnp.asarray(n_match), n_gids, config,
+                float(EXPANSION_THRESHOLD),
+            ))
+            _t = _mark("device_expand_s", _t)
+            continue
         else:
             weights = pixel_weight_accumulation(
                 gs, cameras[v], gid_j, jnp.asarray(match_v),

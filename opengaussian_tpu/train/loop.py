@@ -822,12 +822,13 @@ class Trainer:
         build = jax.jit(build_frozen_plan, static_argnames=("config",))
         cov3d = build_cov3d(self.state.scales, self.state.quats)
         t0 = time.time()
-        plans, lost = [], 0
+        plans = []
         for vi in range(V):
-            p = build(self.bundle.camera(vi), self.state.means, cov3d,
-                      self.state.opacity, config=self.rcfg)
-            lost += int(p.n_dropped) + int(p.n_truncated)
-            plans.append(p)
+            plans.append(build(self.bundle.camera(vi), self.state.means,
+                               cov3d, self.state.opacity, config=self.rcfg))
+        # ONE host sync for the lossless check (a per-view int() would pay
+        # the tunnel RTT V times)
+        lost = int(sum(p.n_dropped + p.n_truncated for p in plans))
         if lost > 0:
             print(f"[frozen] plans disabled: builds lost {lost} slots at "
                   "the tuned budgets (would break superset exactness)",

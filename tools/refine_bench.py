@@ -86,10 +86,27 @@ def main():
 
     rcfg = RasterizeConfig(max_per_tile=512, chunk=64)
     timings: dict = {}
+
+    # live phase progress: timings is mutated in place by the refiner, so a
+    # daemon sampler gives per-phase visibility mid-run (the first full run
+    # timed out after 58 min with zero output — the [H,W,n_gids] stage-2
+    # transfers over the ~44 MB/s tunnel, since moved on-device)
+    import threading
+
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.wait(30):
+            print(f"# t={time.perf_counter() - t0:.0f}s "
+                  + " ".join(f"{k}={v:.1f}" for k, v in sorted(timings.items())),
+                  file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
+    threading.Thread(target=sampler, daemon=True).start()
     refined = refine_sam_masks(gs, cams, sam_ids, rcfg,
                                anchor_stride=args.stride, timings=timings)
     total = time.perf_counter() - t0
+    stop.set()
 
     device = sum(v for k, v in timings.items() if k.startswith("device"))
     host = sum(v for k, v in timings.items() if k.startswith("host"))
