@@ -76,6 +76,7 @@ def bin_gaussians(
     carry: jnp.ndarray | None = None, band_size: int | None = None,
     window_depth: int = 0, window_extra: int = 0,
     rank: jnp.ndarray | None = None,
+    group_of: jnp.ndarray | None = None, num_groups: int = 1,
 ) -> TileBins:
     """tile_lo/tile_hi restrict the per-tile outputs (gauss_idx, counts,
     tile_start) to the tile range [tile_lo, tile_hi) — used by banded
@@ -122,14 +123,28 @@ def bin_gaussians(
     copies/rematerialization around the barrier that the 2-operand sort
     avoids), while sort(key, g) + one [P, D] row gather from [N, D]
     measures ~7.5 ms cheaper in context AND shrinks the expansion pack
-    gather/transpose from 19 to 8 columns."""
+    gather/transpose from 19 to 8 columns.
+
+    group_of [N] int32 + num_groups = G > 1 (PARTITION binning, stream
+    only): each splat's slots land in the VIRTUAL tile group_of[i] *
+    num_tiles + tile, so G DISJOINT groups (a cluster partition) bin /
+    sort / range in ONE pass — counts/tile_start span G * num_tiles
+    virtual tiles and one kernel launch blends every group (the per-group
+    scan alternative pays ~4.6 ms of fixed per-render latency per group at
+    the recipe shape — rasterize.rasterize_partition). Splats outside
+    every group must carry num_tiles == 0 (mask their opacities in proj)."""
     num_tiles = grid_x * grid_y
+    vt_total = num_tiles * num_groups
+    if group_of is not None:
+        assert stream and not dense, "partition binning is stream-only"
+        assert tile_lo == 0 and tile_hi is None and band_size is None, (
+            "partition binning does not compose with tile bands")
     if band_size is not None:
         band = band_size
         tile_hi = tile_lo + band_size
     else:
         if tile_hi is None:
-            tile_hi = num_tiles
+            tile_hi = vt_total
         band = tile_hi - tile_lo
     P = max_intersections
     K = max_per_tile
@@ -167,19 +182,22 @@ def bin_gaussians(
     # extra int32 row-gather for those two lanes rather than silently
     # rounding tile coordinates.
     exact_f32 = P < 2**24 and n < 2**24
-    pack = jnp.stack(
-        [
-            starts.astype(jnp.float32),
-            rect_min[:, 0].astype(jnp.float32),
-            rect_min[:, 1].astype(jnp.float32),
-            rect_w.astype(jnp.float32),
-            rank.astype(jnp.float32),
-            jax.lax.stop_gradient(proj.mean2d[:, 0]),
-            jax.lax.stop_gradient(proj.mean2d[:, 1]),
-            proj.cull_radius,
-        ],
-        axis=-1,
-    )  # [N, 8]
+    lanes = [
+        starts.astype(jnp.float32),
+        rect_min[:, 0].astype(jnp.float32),
+        rect_min[:, 1].astype(jnp.float32),
+        rect_w.astype(jnp.float32),
+        rank.astype(jnp.float32),
+        jax.lax.stop_gradient(proj.mean2d[:, 0]),
+        jax.lax.stop_gradient(proj.mean2d[:, 1]),
+        proj.cull_radius,
+    ]
+    if group_of is not None:
+        # one extra exact-f32 lane: the slot's group offset rides the same
+        # single row-gather as everything else
+        lanes.append(jnp.clip(group_of, 0, num_groups - 1)
+                     .astype(jnp.float32))
+    pack = jnp.stack(lanes, axis=-1)  # [N, 8(+1)]
     pk = pack[g_safe]  # [P, 8] — expansion order: indices ascend
     # ONE transpose to [8, P] so every lane below is a CONTIGUOUS [P] vector:
     # column slices of the (8,128)-tiled [P, 8] layout are strided reads the
@@ -220,11 +238,14 @@ def bin_gaussians(
                   ty.astype(jnp.float32) * TILE_F + (TILE_F - 1.0))
     rad = pkT[7]
     hits = (cx - nx) ** 2 + (cy - ny) ** 2 <= rad * rad
-    tile_id = jnp.where(slot_valid & hits, ty * grid_x + tx, num_tiles)
+    tid = ty * grid_x + tx
+    if group_of is not None:
+        tid = tid + pkT[8].astype(jnp.int32) * num_tiles
+    tile_id = jnp.where(slot_valid & hits, tid, vt_total)
 
     # sort ONLY (key, splat index); the carry rows are row-gathered from the
     # per-splat table afterwards (see `carry` in the docstring)
-    bits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
+    bits_tile = max(int(np.ceil(np.log2(vt_total + 2))), 1)
     bits_rank = max(int(np.ceil(np.log2(n + 1))), 1)
     if bits_tile + bits_rank <= 31:
         key = (tile_id << bits_rank) | rank_slot
@@ -258,8 +279,9 @@ def bin_gaussians(
     tstart = edges[:-1]
     full_counts = edges[1:] - tstart
     # a band reaching past the real grid (mesh padding) must not pick up
-    # the invalid-slot sentinel run at id == num_tiles
-    full_counts = jnp.where(band_ids[:-1] < num_tiles, full_counts, 0)
+    # the invalid-slot sentinel run at id == vt_total (== num_tiles when
+    # ungrouped)
+    full_counts = jnp.where(band_ids[:-1] < vt_total, full_counts, 0)
     counts = jnp.minimum(full_counts, K)
 
     n_dropped = total - jnp.sum(slot_valid.astype(jnp.int32))
@@ -303,7 +325,7 @@ def bin_gaussians(
         )
         run_start = jax.lax.cummax(jnp.where(run_change, slot, 0))
         k_of_slot = slot - run_start
-        sorted_ok = (tile_s < num_tiles) & (k_of_slot < K)
+        sorted_ok = (tile_s < vt_total) & (k_of_slot < K)
         in_band = (tile_s >= tile_lo) & (tile_s < tile_hi)
         tile_clip = jnp.clip(tile_s, tile_lo, tile_hi - 1)
         dest = jnp.where(

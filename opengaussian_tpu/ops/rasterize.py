@@ -744,6 +744,101 @@ def rasterize_scan_groups(
     )
 
 
+def rasterize_partition(
+    camera: Camera,
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    opacities: jnp.ndarray,  # [N] UNION-masked (0 for splats in no group)
+    group_of: jnp.ndarray,  # [N] int32 group index 0..G-1
+    num_groups: int,
+    payload: jnp.ndarray,
+    bg: jnp.ndarray,
+    config: RasterizeConfig = RasterizeConfig(),
+    proj: Projected | None = None,
+    rank: jnp.ndarray | None = None,
+) -> RasterOut:
+    """Render G DISJOINT groups (a cluster partition) in ONE pass.
+
+    Partition binning (bin_gaussians group_of): every slot's sort key is
+    offset by group_of * num_tiles, so one expansion + one sort + one
+    searchsorted + ONE stream-kernel launch cover all G groups — where
+    rasterize_scan_groups pays ~4.6 ms of fixed per-render latency
+    (searchsorted probes, grid launch, assembly fusions) per group at the
+    ScanNet recipe shape (tools/stage_bench.py lang probe: the k1*k2=320
+    per-leaf renders were 1472 ms of a 1505 ms lang view). Total slot work
+    equals ONE pass over the partition's splats, like the scan mode.
+
+    Exactness: groups are disjoint, so each virtual tile's depth-sorted run
+    holds exactly the slots a single-group binning would produce — same
+    blend semantics, same budgets meaning (P spans the PARTITION's total
+    intersections; max_per_tile bounds each (group, tile) run). Use
+    config.group_config()-style budgets sized for the partition.
+
+    Returns RasterOut with a leading group axis on image/alpha/depth;
+    radii are the union's (tight radius of each splat under its own
+    opacity). Stream/Pallas path only."""
+    assert config.use_pallas() and config.pallas_input == "stream", (
+        "rasterize_partition requires the Pallas stream path")
+    grid_x = (camera.width + TILE - 1) // TILE
+    grid_y = (camera.height + TILE - 1) // TILE
+    T = grid_x * grid_y
+    n = means3d.shape[0]
+    if proj is None:
+        proj = project(
+            means3d, cov3d, camera,
+            opacities=opacities if config.tight_radius else None,
+        )
+    opac = jnp.where(proj.valid, opacities, 0.0)
+    full_payload = jnp.concatenate([payload, proj.depth[:, None]], axis=-1)
+    carry = jax.lax.stop_gradient(jnp.concatenate(
+        [proj.mean2d, proj.conic, opac[:, None], full_payload[:, :-1],
+         proj.depth[:, None]], axis=-1,
+    ))
+    bins = bin_gaussians(
+        proj, grid_x, grid_y, config.max_intersections(n),
+        config.max_per_tile, dense=False, stream=True, carry=carry,
+        window_depth=config.tile_windows, window_extra=config.window_extra,
+        rank=rank, group_of=group_of, num_groups=num_groups,
+    )
+    from opengaussian_tpu.ops.rasterize_pallas import (
+        blend_tiles_pallas_stream,
+    )
+
+    n_band = bins.counts.shape[0]  # G*T, or virtual windows thereof
+    max_chunks = config.max_intersections(n) // config.chunk + n_band
+    vt = (bins.vt_real if bins.vt_real is not None
+          else jnp.arange(n_band, dtype=jnp.int32))
+    toff = vt % T  # REAL tile index for the kernel's pixel coords
+    accum, t_final = blend_tiles_pallas_stream(
+        proj.mean2d, proj.conic, opac, full_payload, bins.sorted_carry,
+        bins.sorted_gauss, bins.tile_start, bins.counts,
+        toff.astype(jnp.int32), None, config.chunk, grid_x, max_chunks,
+        config.max_per_tile, config.reduce_backend, config.bwd_layout,
+    )
+    if bins.vt_real is not None:
+        accum, t_final = _fold_windows(
+            accum, t_final, bins.vt_first, bins.vt_n, config.tile_windows
+        )
+    C = payload.shape[1]
+    H, W = camera.height, camera.width
+    img_tiles = accum[:, :, :C] + t_final[..., None] * bg[None, None, :]
+
+    def _untile_g(x):
+        ch = x.shape[-1]
+        x = x.reshape(num_groups, grid_y, grid_x, TILE, TILE, ch)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            num_groups, grid_y * TILE, grid_x * TILE, ch)
+        return x[:, :H, :W]
+
+    image = _untile_g(img_tiles)
+    alpha = _untile_g((1.0 - t_final)[..., None])[..., 0]
+    depth = _untile_g(accum[:, :, C:])[..., 0]
+    return RasterOut(
+        image=image, alpha=alpha, depth=depth, radii=proj.radius,
+        n_dropped=bins.n_dropped, n_truncated=bins.n_truncated,
+    )
+
+
 def rasterize_groups(
     camera: Camera,
     means3d: jnp.ndarray,

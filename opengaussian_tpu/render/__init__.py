@@ -188,6 +188,76 @@ def render_clusters(
                           min_points, frozen=frozen)
 
 
+def render_clusters_partition(
+    camera: Camera,
+    gs: GaussianState,
+    bg: jnp.ndarray,
+    cluster_ids: jnp.ndarray,  # [N] int cluster assignment
+    group_ids: jnp.ndarray,  # [G] int: which cluster each group renders
+    config: RasterizeConfig = RasterizeConfig(),
+    *,
+    quantized_feat: jnp.ndarray | None = None,
+    origin_feat: bool = False,
+    rescale_factor: jnp.ndarray | float = 1.0,
+    better_vis: bool = False,
+    scale_limit: float = COARSE_SCALE_LIMIT,
+    min_points: int = MIN_CLUSTER_POINTS,
+    proj=None,
+    rank=None,
+) -> RenderOutputs:
+    """render_clusters for DISJOINT group_ids via ONE partition rasterize.
+
+    Same contract as render_clusters (cluster_imgs/silhouettes/occur/valid),
+    but all G groups share one binning/sort/kernel launch
+    (ops/rasterize.rasterize_partition) — the per-group fixed render cost
+    dominates the stage-3 lang sweep under the scan mode. Requires the
+    group_ids to select DISJOINT clusters (always true for cluster
+    partitions) and the Pallas stream path. Budgets: config.group_config()
+    must cover the PARTITION's total intersections (for a root's k2 leaves
+    that is the root's own load, which tuned_group_config sized groupP
+    for). proj/rank: optional hoisted projection (masked internally) +
+    depth rank, shared across e.g. a scan over roots."""
+    from opengaussian_tpu.ops.rasterize import rasterize_partition
+
+    gcfg = config.group_config()
+    scales = gs.scales
+    cov3d = build_cov3d(scales * rescale_factor, gs.quats)
+    payload = encoded_ins_feat(gs, quantized_feat, origin_feat)
+    fbg = jnp.concatenate([bg, bg])
+
+    member = cluster_ids[None, :] == group_ids[:, None]  # [G, N]
+    keep = member & gs.alive[None, :]
+    if better_vis:
+        keep = keep & jnp.all(scales < scale_limit, axis=-1)[None, :]
+    counts = keep.sum(axis=-1)
+    valid = counts >= min_points
+    union = jnp.any(keep, axis=0)  # [N]
+    group_of = jnp.argmax(keep, axis=0).astype(jnp.int32)  # disjoint: <= 1 hit
+    opac = jnp.where(union, gs.opacity, 0.0)
+    if proj is not None:
+        proj = dataclasses.replace(
+            proj,
+            radius=jnp.where(union, proj.radius, 0),
+            cull_radius=jnp.where(union, proj.cull_radius, 0.0),
+            num_tiles=jnp.where(union, proj.num_tiles, 0),
+            valid=proj.valid & union,
+        )
+    r = rasterize_partition(
+        camera, gs.means, cov3d, opac, group_of, int(group_ids.shape[0]),
+        payload, fbg, gcfg, proj=proj, rank=rank,
+    )
+    occur = jnp.max(r.alpha, axis=(1, 2)) > OCCUR_SIL_THRESHOLD
+    return RenderOutputs(
+        cluster_imgs=r.image,
+        cluster_silhouettes=r.alpha,
+        cluster_occur=occur & valid,
+        cluster_valid=valid,
+        radii=r.radii,
+        visibility_filter=r.radii > 0,
+        n_lost=r.n_dropped + r.n_truncated,
+    )
+
+
 def render_selection(
     camera: Camera,
     gs: GaussianState,

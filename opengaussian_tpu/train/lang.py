@@ -11,6 +11,7 @@ per leaf across views. Saves the same `cluster_lang.npz` artifact
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -58,12 +59,41 @@ def _associate_view(gs, kms_leaf_ids, camera, pseudo_feat, pseudo_ids,
     pm, pm_valid = masku.masks_onehot(pseudo_ids, max_masks)  # [M,H,W]
     p_mean = masku.mask_feature_mean(pseudo_feat, pm)  # [M,6]
 
+    # On the stream path, one root's k2 leaves render as ONE partition
+    # rasterize (shared binning/sort/kernel launch), with the projection +
+    # depth rank hoisted across the whole k1-root scan: the scan-mode
+    # per-leaf renders cost ~4.6 ms of fixed latency each (searchsorted +
+    # launch overhead, NOT window DMA — shallow-K A/B moved nothing), which
+    # made the 320 renders 1472 ms of a 1505 ms lang view at the ScanNet
+    # recipe shape. Elsewhere (XLA/CPU) the per-group scan remains.
+    use_partition = config.use_pallas() and config.pallas_input == "stream"
+    if use_partition:
+        from opengaussian_tpu.ops.binning import depth_rank
+        from opengaussian_tpu.ops.projection import build_cov3d, project
+        from opengaussian_tpu.render import render_clusters_partition
+
+        cov3d = build_cov3d(gs.scales, gs.quats)
+        opac_all = jnp.where(gs.alive, gs.opacity, 0.0)
+        proj = project(
+            gs.means, cov3d, camera,
+            opacities=opac_all if config.tight_radius else None,
+        )
+        rank = depth_rank(jax.lax.stop_gradient(proj.depth))
+
     def body(_, root_id):
         group_ids = root_id * k2 + jnp.arange(k2)
-        out = render_clusters(
-            camera, gs, bg, kms_leaf_ids, group_ids, config,
-            origin_feat=True, better_vis=False, min_points=MIN_LEAF_POINTS,
-        )
+        if use_partition:
+            out = render_clusters_partition(
+                camera, gs, bg, kms_leaf_ids, group_ids, config,
+                origin_feat=True, better_vis=False,
+                min_points=MIN_LEAF_POINTS, proj=proj, rank=rank,
+            )
+        else:
+            out = render_clusters(
+                camera, gs, bg, kms_leaf_ids, group_ids, config,
+                origin_feat=True, better_vis=False,
+                min_points=MIN_LEAF_POINTS,
+            )
         res = score_leaves(out.cluster_imgs, out.cluster_silhouettes,
                            out.cluster_valid, pm, pm_valid, p_mean,
                            occur_row[root_id])

@@ -1083,13 +1083,16 @@ class Trainer:
                 if self.pseudo is not None and self.pseudo.cluster_occur is not None
                 else jnp.bool_(True)
             )
+            # stage 2.2 intentionally does NOT use frozen plans: the
+            # single-root masked blend over the full frozen stream measured
+            # 17.0 ms where the fresh per-root scan re-binning at the small
+            # group budgets measures 14.0 (tools/stage_bench.py A/B) — the
+            # full-P walk costs more than the binning it saves
             self.state, self.adam, loss, _, self._last_lost = stage22_step(
                 self.state, self.adam, self.kms, bundle, jnp.int32(svi),
                 jnp.int32(it), bg, jnp.float32(self._rescale_factor(it)),
                 jnp.asarray(self.pseudo.feat[vi]), jnp.int32(self.root_id),
                 root_vis, self.rcfg, o, self.any_alpha,
-                frozen_all=self._ensure_frozen_plans(),
-                plan_idx=jnp.int32(vi),
             )
         return loss
 
@@ -1138,11 +1141,11 @@ class Trainer:
                 if self.pseudo is not None and self.pseudo.cluster_occur is not None
                 else jnp.ones((self.bundle.num_views, o.root_node_num), bool)
             )
+            # no frozen plans for 2.2 (see _run_single's stage-2.2 note)
             self.state, self.adam, loss, self._last_lost = stage22_block(
                 self.state, self.adam, self.kms, self.bundle, vis, its, bgs,
                 rescales, jnp.asarray(root_ids, jnp.int32),
                 self.pseudo.feat, occur, self.rcfg, o, self.any_alpha,
-                frozen_all=self._ensure_frozen_plans(),
             )
         return loss
 
